@@ -1,0 +1,3 @@
+from .blocks import BNReluConv, UpsampleBlend, SpatialPyramidPooling
+from .resnet_pyramid import PyramidResNet, resnet18_pyramid, resnet34_pyramid
+from .weathernet import WeatherNet, WeatherClassifier, ProjectionHead, DCSSModel, build_model

@@ -1,0 +1,168 @@
+"""SwiftNet pyramid ResNet backbone — the flagship encoder/decoder.
+
+TPU-native re-design of reference ``network/backbone/resnet_pyramid.py:55-417``:
+
+- a 3-level input image pyramid (bicubic /2, lowered to stride-2 depthwise
+  convs — see ``ops/interpolate.py``) feeds a *shared* ResNet-18/34 trunk;
+- the stem BatchNorm is per-pyramid-level (``bn1_0/1/2``, reference
+  ``resnet_pyramid.py:159-165``) while every other parameter is shared;
+- each stage's output passes a 1×1 bottleneck to ``num_features`` (128)
+  channels and is accumulated into a resolution-indexed skip list
+  (``skips[idx + stage]``, reference ``resnet_pyramid.py:345-348``);
+- the decoder walks 5 ``UpsampleBlend`` steps from the coarsest skip sum up
+  to 1/4 input resolution (reference ``resnet_pyramid.py:372-376``).
+
+Layout is NHWC; compute dtype is configurable (bf16 on TPU); optional
+``efficient`` rematerialization mirrors the reference's
+``torch.utils.checkpoint`` wrapping (``resnet_pyramid.py:39-44``) via
+``flax.linen.remat``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.interpolate import pyramid_subsample
+from .blocks import BNReluConv, UpsampleBlend, batch_norm, conv_kxk, max_pool_3x3_s2
+
+Dtype = Any
+
+# ImageNet-scale normalization constants the reference bakes into the backbone
+# (network/weathernet.py:37-38, passed into ResNet at resnet_pyramid.py:142-143).
+IMAGENET_MEAN = (73.15, 82.90, 72.3)
+IMAGENET_STD = (47.67, 48.49, 47.73)
+
+
+class BasicBlock(nn.Module):
+    """Pre-norm ResNet basic block (reference ``resnet_pyramid.py:55-89``):
+    conv3x3(s)→BN→ReLU→conv3x3→BN, projection shortcut on stride/width change,
+    add, ReLU."""
+
+    planes: int
+    stride: int = 1
+    use_bn: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        residual = x
+        out = conv_kxk(self.planes, 3, self.stride, dtype=self.dtype, name="conv1")(x)
+        if self.use_bn:
+            out = batch_norm(self.dtype, name="bn1")(out, use_running_average=not train)
+        out = nn.relu(out)
+        out = conv_kxk(self.planes, 3, 1, dtype=self.dtype, name="conv2")(out)
+        if self.use_bn:
+            out = batch_norm(self.dtype, name="bn2")(out, use_running_average=not train)
+        if self.stride != 1 or x.shape[-1] != self.planes:
+            residual = nn.Conv(self.planes, (1, 1), strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                               name="downsample_conv")(x)
+            if self.use_bn:
+                residual = batch_norm(self.dtype, name="downsample_bn")(
+                    residual, use_running_average=not train)
+        return nn.relu(out + residual)
+
+
+class PyramidResNet(nn.Module):
+    """Shared-trunk pyramid ResNet; returns (decoded 128-ch features @ 1/4 res,
+    additional dict with the coarsest skip)."""
+
+    layers: Tuple[int, int, int, int] = (2, 2, 2, 2)
+    num_features: int = 128
+    pyramid_levels: int = 3
+    use_bn: bool = True
+    k_bneck: int = 1
+    k_upsample: int = 3
+    efficient: bool = False
+    output_stride: int = 4
+    mean: Tuple[float, float, float] = IMAGENET_MEAN
+    std: Tuple[float, float, float] = IMAGENET_STD
+    dtype: Dtype = jnp.float32
+
+    @property
+    def num_skip_levels(self) -> int:
+        import math
+
+        num_bn_remove = max(0, int(math.log2(self.output_stride) - 2))
+        return self.pyramid_levels + 3 - num_bn_remove
+
+    @nn.compact
+    def __call__(self, image: jax.Array, *, train: bool = False):
+        # input normalization lives in the model (reference resnet_pyramid.py:296-304)
+        mean = jnp.asarray(self.mean, dtype=jnp.float32)
+        std = jnp.asarray(self.std, dtype=jnp.float32)
+        image = ((image - mean) / std).astype(self.dtype)
+
+        pyramid = pyramid_subsample(image, self.pyramid_levels)
+
+        block_cls = BasicBlock
+        if self.efficient:
+            # rematerialize each block's activations in backward, mirroring the
+            # reference's torch.utils.checkpoint use (resnet_pyramid.py:39-44)
+            block_cls = nn.remat(BasicBlock, static_argnums=(2,))
+
+        # shared trunk modules (weight sharing across pyramid levels comes from
+        # calling the same module instances on every level)
+        stem_conv = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                            use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                            name="conv1")
+        stem_bns = [batch_norm(self.dtype, name=f"bn1_{i}") for i in range(self.pyramid_levels)]
+
+        stage_planes = (64, 128, 256, 512)
+        stages = []
+        for si, (planes, n_blocks) in enumerate(zip(stage_planes, self.layers)):
+            blocks = []
+            for bi in range(n_blocks):
+                stride = 2 if (si > 0 and bi == 0) else 1
+                blocks.append(block_cls(planes=planes, stride=stride, use_bn=self.use_bn,
+                                        dtype=self.dtype, name=f"layer{si + 1}_{bi}"))
+            stages.append(blocks)
+
+        bnecks = [
+            conv_kxk(self.num_features, k=self.k_bneck, dtype=self.dtype,
+                     name=f"upsample_bottlenecks{j + 1}")
+            for j in range(4)
+        ]
+
+        num_skips = self.num_skip_levels
+        skips: Dict[int, list] = {lvl: [] for lvl in range(num_skips)}
+        additional: Dict[str, Any] = {"pyramid": pyramid}
+
+        for idx, p in enumerate(pyramid):
+            x = stem_conv(p)
+            x = stem_bns[idx](x, use_running_average=not train)
+            x = nn.relu(x)
+            x = max_pool_3x3_s2(x)
+            for j, blocks in enumerate(stages):
+                for blk in blocks:
+                    x = blk(x, train)
+                skips[idx + j].append(bnecks[j](x))
+
+        # reverse: skips_r[0] is the coarsest level (reference resnet_pyramid.py:361)
+        skips_r = [skips[lvl] for lvl in reversed(range(num_skips))]
+        x = skips_r[0][0]
+        additional["skips_0"] = x  # (B, h/128, w/128, 128) coarse global feature
+
+        for i in range(1, num_skips):
+            skip_sum = skips_r[i][0]
+            for s in skips_r[i][1:]:
+                skip_sum = skip_sum + s
+            x = UpsampleBlend(self.num_features, use_bn=self.use_bn, k=self.k_upsample,
+                              dtype=self.dtype, name=f"upsample_blends{i}")(
+                x, skip_sum, train=train)
+
+        return x, additional
+
+
+def resnet18_pyramid(dtype: Dtype = jnp.float32, efficient: bool = False, **kw) -> PyramidResNet:
+    """SwiftNet-RN18 (reference ``resnet_pyramid.py:397-405``; ImageNet init is
+    loaded separately via ``utils/torch_convert.py``)."""
+    return PyramidResNet(layers=(2, 2, 2, 2), dtype=dtype, efficient=efficient, **kw)
+
+
+def resnet34_pyramid(dtype: Dtype = jnp.float32, efficient: bool = False, **kw) -> PyramidResNet:
+    return PyramidResNet(layers=(3, 4, 6, 3), dtype=dtype, efficient=efficient, **kw)

@@ -1,0 +1,196 @@
+"""Resize primitives matching the reference's interpolation semantics, TPU-first.
+
+The reference leans on three torch resize flavours:
+
+- bilinear, ``align_corners=False`` (``network/utils.py:8`` — the in-model
+  upsample used by every decoder);
+- nearest with *asymmetric* index mapping ``src = floor(dst * in/out)``
+  (label downsampling in ``utils/loss.py:401``);
+- bicubic (``pyramid_subsample`` in ``network/backbone/resnet_pyramid.py:313``,
+  torch's Keys kernel with a = -0.75).
+
+On TPU, gather-based resampling is slow; for the power-of-two scale factors the
+model actually uses, every one of these is a *fixed small stencil*, so we
+lower them to elementwise blends / strided depthwise convolutions that XLA can
+fuse. General sizes fall back to ``jax.image.resize``.
+
+All functions take NHWC (or NHW) arrays.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _is_2x(out_size: Tuple[int, int], in_size: Tuple[int, int]) -> bool:
+    return out_size[0] == 2 * in_size[0] and out_size[1] == 2 * in_size[1]
+
+
+def resize_bilinear(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
+    """Bilinear resize with half-pixel centers (torch ``align_corners=False``).
+
+    Equivalent to ``F.interpolate(x, size, mode='bilinear',
+    align_corners=False)`` (reference ``network/utils.py:8``). Fast ×2 path for
+    the decoder ladder; everything else goes through ``jax.image.resize``
+    (same half-pixel convention, antialias off — we only ever upsample here).
+    """
+    h, w = x.shape[-3], x.shape[-2]
+    if (h, w) == tuple(size):
+        return x
+    if _is_2x(tuple(size), (h, w)):
+        return upsample2x_bilinear(x)
+    out_shape = x.shape[:-3] + (size[0], size[1], x.shape[-1])
+    return jax.image.resize(x, out_shape, method="bilinear", antialias=False)
+
+
+def upsample2x_bilinear(x: jax.Array) -> jax.Array:
+    """×2 bilinear upsample, half-pixel centers, as a pure blend + interleave.
+
+    With align_corners=False the source coordinate of output row ``2k`` is
+    ``k - 0.25`` and of ``2k+1`` is ``k + 0.25``; each output row is therefore a
+    fixed (0.75, 0.25) blend of two adjacent input rows with edge clamping.
+    This avoids gathers entirely — XLA fuses it into neighboring ops.
+    """
+
+    def up_axis(v: jax.Array, axis: int) -> jax.Array:
+        pad = [(0, 0)] * v.ndim
+        pad[axis] = (1, 1)
+        vp = jnp.pad(v, pad, mode="edge")
+        n = v.shape[axis]
+        prev = jax.lax.slice_in_dim(vp, 0, n, axis=axis)
+        cur = jax.lax.slice_in_dim(vp, 1, n + 1, axis=axis)
+        nxt = jax.lax.slice_in_dim(vp, 2, n + 2, axis=axis)
+        even = 0.25 * prev + 0.75 * cur
+        odd = 0.75 * cur + 0.25 * nxt
+        stacked = jnp.stack([even, odd], axis=axis + 1)
+        new_shape = list(v.shape)
+        new_shape[axis] = 2 * n
+        return stacked.reshape(new_shape)
+
+    x = up_axis(x, x.ndim - 3)  # H
+    x = up_axis(x, x.ndim - 2)  # W
+    return x
+
+
+def resize_nearest(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
+    """Nearest resize with torch's asymmetric mapping ``src = floor(dst*in/out)``.
+
+    Matches ``F.interpolate(mode='nearest')`` used to downsample label maps for
+    the pixel-contrast loss (reference ``utils/loss.py:400-402``). Note this is
+    NOT the half-pixel 'nearest' of ``jax.image.resize``.
+
+    Works on (..., H, W) arrays (no channel dim needed) and on NHWC.
+    """
+    # 4-d arrays are NHWC; anything else treats the last two dims as (H, W)
+    if x.ndim == 4:
+        h_ax, w_ax = 1, 2
+    else:
+        h_ax, w_ax = x.ndim - 2, x.ndim - 1
+    in_h, in_w = x.shape[h_ax], x.shape[w_ax]
+    out_h, out_w = size
+    rows = jnp.floor(jnp.arange(out_h) * (in_h / out_h)).astype(jnp.int32)
+    cols = jnp.floor(jnp.arange(out_w) * (in_w / out_w)).astype(jnp.int32)
+    x = jnp.take(x, rows, axis=h_ax)
+    x = jnp.take(x, cols, axis=w_ax)
+    return x
+
+
+# Keys cubic kernel with a = -0.75 (torch's bicubic), sampled at the fixed
+# half-pixel offsets of an exact /2 downsample: source coord of output i is
+# 2i + 0.5, so taps sit at distances (1.5, 0.5, 0.5, 1.5) from input centers.
+_BICUBIC2X_TAPS = np.array([-0.09375, 0.59375, 0.59375, -0.09375], dtype=np.float32)
+
+
+def downsample2x_bicubic(x: jax.Array) -> jax.Array:
+    """Exact /2 bicubic downsample (torch kernel a=-0.75, align_corners=False).
+
+    Matches ``F.interpolate(img, scale_factor=0.5, mode='bicubic')`` used to
+    build the SwiftNet input pyramid (reference
+    ``network/backbone/resnet_pyramid.py:313``) — as a separable 4-tap
+    stride-2 depthwise convolution with edge-replicated borders, which XLA
+    maps straight onto the conv units instead of emitting gathers.
+    """
+    dtype = x.dtype
+    c = x.shape[-1]
+    taps = jnp.asarray(_BICUBIC2X_TAPS, dtype=dtype)
+
+    def conv_axis(v: jax.Array, axis_is_h: bool) -> jax.Array:
+        pad = [(0, 0), (0, 0), (0, 0), (0, 0)]
+        pad[1 if axis_is_h else 2] = (1, 1)
+        vp = jnp.pad(v, pad, mode="edge")
+        if axis_is_h:
+            kernel = taps.reshape(4, 1, 1, 1)
+            window_strides = (2, 1)
+        else:
+            kernel = taps.reshape(1, 4, 1, 1)
+            window_strides = (1, 2)
+        kernel = jnp.broadcast_to(kernel, kernel.shape[:2] + (1, c))
+        return jax.lax.conv_general_dilated(
+            vp,
+            kernel,
+            window_strides=window_strides,
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+        )
+
+    squeeze = False
+    if x.ndim == 3:
+        x = x[None]
+        squeeze = True
+    y = conv_axis(x, True)
+    y = conv_axis(y, False)
+    return (y[0] if squeeze else y).astype(dtype)
+
+
+def pyramid_subsample(x: jax.Array, levels: int) -> Sequence[jax.Array]:
+    """Input pyramid [x, x/2, x/4, ...] via repeated bicubic /2.
+
+    The reference computes each level directly from the full image
+    (``resnet_pyramid.py:306-314``); repeated /2 differs at the 1/4 level by a
+    slightly wider effective kernel. We accept that (it is an *augmentation*
+    of the input, not a comparison target) in exchange for a conv-only
+    pyramid. Set ``levels=3`` for SwiftNet.
+    """
+    out = [x]
+    for _ in range(1, levels):
+        out.append(downsample2x_bicubic(out[-1]))
+    return out
+
+
+def adaptive_avg_pool(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    """torch ``adaptive_avg_pool2d`` on NHWC.
+
+    Used by SwiftNet SPP grids (reference ``network/utils.py:146``). torch
+    pools window ``[floor(i*H/o), ceil((i+1)*H/o))``; when ``H % o == 0`` this
+    is a plain strided average pool, which is all the SPP grids need in
+    practice — the general case falls back to the exact (unequal-window)
+    computation.
+    """
+    h, w = x.shape[-3], x.shape[-2]
+    oh, ow = out_hw
+    if oh == 1 and ow == 1:
+        return jnp.mean(x, axis=(-3, -2), keepdims=True)
+    if h % oh == 0 and w % ow == 0:
+        kh, kw = h // oh, w // ow
+        xr = x.reshape(x.shape[:-3] + (oh, kh, ow, kw, x.shape[-1]))
+        return xr.mean(axis=(-4, -2))
+    # exact adaptive pooling with unequal windows (rare path, small grids)
+    row_starts = [int(np.floor(i * h / oh)) for i in range(oh)]
+    row_ends = [int(np.ceil((i + 1) * h / oh)) for i in range(oh)]
+    col_starts = [int(np.floor(j * w / ow)) for j in range(ow)]
+    col_ends = [int(np.ceil((j + 1) * w / ow)) for j in range(ow)]
+    rows = []
+    for i in range(oh):
+        cols = []
+        band = jax.lax.slice_in_dim(x, row_starts[i], row_ends[i], axis=x.ndim - 3)
+        for j in range(ow):
+            cell = jax.lax.slice_in_dim(band, col_starts[j], col_ends[j], axis=x.ndim - 2)
+            cols.append(cell.mean(axis=(-3, -2)))
+        rows.append(jnp.stack(cols, axis=-2))
+    return jnp.stack(rows, axis=-3)
