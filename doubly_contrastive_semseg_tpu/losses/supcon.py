@@ -1,0 +1,73 @@
+"""Image-level supervised-contrastive / SimCLR loss.
+
+Functional re-design of reference ``utils/loss.py:84-205`` (SupConLoss,
+Khosla et al. 2020, arXiv:2004.11362). The trainable projection head the
+reference hides inside the loss module (``loss.py:104-109``) lives in the
+model here (``models/weathernet.py:ProjectionHead``); this function consumes
+the already-projected two-view embeddings.
+
+Faithfully reproduces the reference's two deviations from the published
+formulation (both flagged "(ADDED by me)" in the reference):
+- row-L2 normalization of the *logits matrix* after max-subtraction
+  (``loss.py:194``), which rescales the loss;
+- ``contrast_mode='all'`` for both SupCon and SimCLR (``loss.py:111``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _row_l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """torch ``F.normalize(x)`` default: v / max(||v||_2, eps) along dim 1."""
+    norm = jnp.linalg.norm(x, axis=1, keepdims=True)
+    return x / jnp.maximum(norm, eps)
+
+
+def supcon_loss(
+    features: jax.Array,
+    labels: Optional[jax.Array] = None,
+    *,
+    temperature: float = 0.07,
+    base_temperature: float = 0.07,
+) -> jax.Array:
+    """SupCon (labels given) or SimCLR (labels None) over two views.
+
+    Args:
+      features: (B, 2, D) projected two-view embeddings (fp32). Note the
+        reference does NOT L2-normalize the embeddings themselves.
+      labels: (B,) int class ids (weather condition) or None for SimCLR
+        (reference ``trainer.py:117-128``).
+
+    Returns scalar loss (mean over all 2B anchors).
+    """
+    features = features.astype(jnp.float32)
+    bsz = features.shape[0]
+    if labels is None:
+        mask = jnp.eye(bsz, dtype=jnp.float32)
+    else:
+        labels = labels.reshape(-1)
+        mask = (labels[:, None] == labels[None, :]).astype(jnp.float32)
+
+    # (2B, D): [view0 of all samples; view1 of all samples] (loss.py:163)
+    contrast = jnp.concatenate([features[:, 0], features[:, 1]], axis=0)
+    n = 2 * bsz
+
+    logits = contrast @ contrast.T / temperature
+    logits = logits - jax.lax.stop_gradient(jnp.max(logits, axis=1, keepdims=True))
+
+    mask = jnp.tile(mask, (2, 2))
+    logits_mask = 1.0 - jnp.eye(n, dtype=jnp.float32)  # self-contrast masked out
+    mask = mask * logits_mask
+
+    logits = _row_l2_normalize(logits)  # reference loss.py:194
+
+    exp_logits = jnp.exp(logits) * logits_mask
+    log_prob = logits - jnp.log(jnp.sum(exp_logits, axis=1, keepdims=True))
+
+    mean_log_prob_pos = jnp.sum(mask * log_prob, axis=1) / jnp.sum(mask, axis=1)
+    loss = -(temperature / base_temperature) * mean_log_prob_pos
+    return jnp.mean(loss)
