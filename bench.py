@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Benchmark: SwiftNet-RN18 full-res 2048×1024 inference throughput per chip.
+
+Protocol follows the reference's FPS measurement (``trainer.py:341-368`` /
+``inference.py:139-145``): time the forward only, skip warm-up iterations,
+report mean frames/sec. Baseline: 66.7 FPS on an RTX 3080 Mobile
+(reference README.md:7). Target (BASELINE.json): ≥ 3× per v5e chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+BASELINE_FPS = 66.7
+
+
+def run_bench(height: int, width: int, batch_size: int, iters: int,
+              warmup: int, dtype: str) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from doubly_contrastive_semseg_tpu.models import DCSSModel
+
+    model = DCSSModel(
+        backbone="resnet18", num_classes=19, weather_num=4,
+        dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
+    x = jnp.ones((batch_size, height, width, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x[:1], train=False)
+
+    @jax.jit
+    def forward(params, batch_stats, image):
+        out = model.apply({"params": params, "batch_stats": batch_stats},
+                          image, train=False)
+        # argmax on device: the consumer-visible output is the label map
+        return jnp.argmax(out["seg"], axis=-1).astype(jnp.int32)
+
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+
+    def run_once(image):
+        # fetch one scalar to the host: on remote-tunneled backends
+        # block_until_ready can ack at dispatch, so a D2H readback is the only
+        # reliable completion fence
+        out = forward(params, batch_stats, image)
+        return int(jax.device_get(out[0, 0, 0]))
+
+    for _ in range(warmup):
+        run_once(x)
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        run_once(x)
+        times.append(time.perf_counter() - t0)
+    mean_t = sum(times) / len(times)
+    return batch_size / mean_t
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true", help="small shape smoke run")
+    p.add_argument("--batch_size", type=int, default=0, help="0 = auto-pick")
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    args = p.parse_args()
+
+    if args.quick:
+        h, w = 256, 512
+        candidates = [args.batch_size] if args.batch_size else [1]
+        iters, warmup = 5, 2
+    else:
+        h, w = 1024, 2048
+        candidates = [args.batch_size] if args.batch_size else [1, 4, 8]
+        iters, warmup = args.iters, args.warmup
+
+    best = 0.0
+    for bs in candidates:
+        try:
+            fps = run_bench(h, w, bs, iters, warmup, args.dtype)
+        except Exception as e:  # OOM at large batch: keep the best so far
+            print(f"batch_size={bs} failed: {e}", file=sys.stderr)
+            continue
+        print(f"batch_size={bs}: {fps:.2f} frames/sec", file=sys.stderr)
+        best = max(best, fps)
+
+    print(json.dumps({
+        "metric": f"swiftnet_rn18_{w}x{h}_inference",
+        "value": round(best, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(best / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

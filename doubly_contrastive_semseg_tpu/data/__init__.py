@@ -1,0 +1,17 @@
+from .transforms import (
+    Compose,
+    RandomSquareCropAndScale,
+    LabelBoundaryTransform,
+    GammaCorrection,
+    FixedResize,
+    SetTargetSize,
+    ToArrays,
+    TwoCropTransform,
+    CropBlackArea,
+)
+from .acdc import ACDC, CITYSCAPES_ID_TO_TRAIN_ID, TRAIN_ID_TO_COLOR, WEATHER_DICT
+from .cityscapes import Cityscapes
+from .synthetic import SyntheticDataset
+from .loader import DataLoader, collate
+from .factory import get_dataset
+from .weights import compute_class_frequencies, balanced_class_weights, load_or_compute_class_weights

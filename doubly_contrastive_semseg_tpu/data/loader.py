@@ -1,0 +1,109 @@
+"""Threaded prefetching data loader.
+
+Replaces the reference's ``torch.utils.data.DataLoader(num_workers=4,
+collate_fn=custom_collate)`` (``utils/init_trainer.py:86-93``). PIL/cv2
+release the GIL for the heavy decode/EDT work, so a thread pool gives worker
+parallelism without fork overhead; a bounded prefetch queue keeps the host
+pipeline ahead of the device step.
+
+Collation handles the two-crop contrastive batches the way the trainer does
+(``trainer.py:66-72``): the two views' images are concatenated on the batch
+axis into one ``(2B, H, W, 3)`` array; labels/weights/weather come from view 0.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+ARRAY_KEYS = ("left", "label", "weather", "label_distance_weight", "disp")
+META_KEYS = ("left_name", "frame_name", "target_size", "target_size_feats")
+
+
+def _stack(samples: List[Dict]) -> Dict:
+    out: Dict = {}
+    for k in ARRAY_KEYS:
+        if k in samples[0] and samples[0][k] is not None:
+            out[k] = np.stack([np.asarray(s[k]) for s in samples])
+    for k in META_KEYS:
+        if k in samples[0]:
+            out[k] = [s[k] for s in samples]
+    return out
+
+
+def collate(samples: List) -> Dict:
+    """Batch a list of samples; two-crop pairs become one 2B-image batch."""
+    if isinstance(samples[0], (list, tuple)):
+        view0 = _stack([s[0] for s in samples])
+        view1 = _stack([s[1] for s in samples])
+        view0["left"] = np.concatenate([view0["left"], view1["left"]], axis=0)
+        return view0
+    return _stack(samples)
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 num_workers: int = 4, drop_last: bool = False,
+                 seed: int = 0, prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _batch_indices(self) -> List[np.ndarray]:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed * 1_000_003 + self.epoch)
+            rng.shuffle(idx)
+        batches = []
+        for s in range(0, n, self.batch_size):
+            b = idx[s:s + self.batch_size]
+            if self.drop_last and len(b) < self.batch_size:
+                continue
+            batches.append(b)
+        return batches
+
+    def __iter__(self) -> Iterator[Dict]:
+        batches = self._batch_indices()
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        err: List[BaseException] = []
+
+        def produce():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in batches:
+                        samples = list(pool.map(self.dataset.__getitem__, b))
+                        q.put(collate(samples))
+            except BaseException as e:  # surfaced on the consumer side
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item

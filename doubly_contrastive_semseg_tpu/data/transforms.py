@@ -1,0 +1,215 @@
+"""Host-side augmentation pipeline (dict-sample transforms).
+
+Re-implementation of the reference's ACDC transform suite
+(``dataloaders/custom_transforms_acdc.py``) with identical sampling/geometry
+semantics, producing NHWC numpy arrays ready for device upload. The genuinely
+non-XLA-friendly op — the per-class Euclidean distance transform — runs here
+with cv2 exactly as the reference does (``custom_transforms_acdc.py:656-693``);
+an on-device jump-flood variant lives in ``ops/edt.py`` for the fused
+pipeline. Everything downstream of these transforms is static-shape.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover - cv2 is baked into the image
+    cv2 = None
+
+RESAMPLE_IMG = Image.BICUBIC  # reference RESAMPLE for images
+
+
+class Compose:
+    def __init__(self, transforms: Sequence):
+        self.transforms = list(transforms)
+
+    def __call__(self, sample: Dict) -> Dict:
+        for t in self.transforms:
+            sample = t(sample)
+        return sample
+
+
+class TwoCropTransform:
+    """Run the full pipeline twice per sample for the two contrastive views
+    (reference ``dataloaders/utils.py:13-22``)."""
+
+    def __init__(self, transform):
+        self.transform = transform
+
+    def __call__(self, sample: Dict):
+        return [self.transform(dict(sample)), self.transform(dict(sample))]
+
+
+def _crop_and_scale_img(img: Image.Image, crop_box, target_size, pad_size,
+                        resample, blank_value):
+    """Pad-to-max → crop box → resize (reference
+    ``custom_transforms_acdc.py:530-535``)."""
+    target = Image.new(img.mode, pad_size, color=blank_value)
+    target.paste(img)
+    return target.crop(crop_box).resize(target_size, resample=resample)
+
+
+class RandomSquareCropAndScale:
+    """Random scale ∈ U(min, max) of the crop box, random location, pad with
+    dataset mean / ignore id, resize to ``wh``
+    (reference ``custom_transforms_acdc.py:444-525``)."""
+
+    def __init__(self, wh: Tuple[int, int], mean: Tuple[int, int, int],
+                 ignore_id: int = 255, min: float = 0.5, max: float = 2.0,
+                 rng: Optional[np.random.Generator] = None):
+        self.wh = wh
+        self.mean = tuple(int(m) for m in mean)
+        self.ignore_id = ignore_id
+        self.min = min
+        self.max = max
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, sample: Dict) -> Dict:
+        left: Image.Image = sample["left"]
+        scale = float(self.rng.uniform(self.min, self.max))
+        w_img, h_img = left.size
+        box_w = int(scale * self.wh[0])
+        box_h = int(scale * self.wh[1])
+        pad_size = (max(box_w, w_img), max(box_h, h_img))
+        # random top-left such that the box fits the padded canvas
+        try:
+            x0 = int(self.rng.integers(0, pad_size[0] - box_w + 1))
+            y0 = int(self.rng.integers(0, pad_size[1] - box_h + 1))
+        except ValueError:
+            x0 = y0 = 0
+        crop_box = (x0, y0, x0 + box_w, y0 + box_h)
+        target_size = (self.wh[0], self.wh[1])
+
+        out = dict(sample)
+        out["left"] = _crop_and_scale_img(left, crop_box, target_size, pad_size,
+                                          RESAMPLE_IMG, self.mean)
+        if "label" in sample and sample["label"] is not None:
+            out["label"] = _crop_and_scale_img(sample["label"], crop_box, target_size,
+                                               pad_size, Image.NEAREST, self.ignore_id)
+        return out
+
+
+class LabelBoundaryTransform:
+    """Per-class Euclidean distance transform → summed → exp(-d / 2σ) boundary
+    weight, zero at ignore pixels (reference
+    ``custom_transforms_acdc.py:656-693``). Produces the ``alphas`` of the
+    boundary-aware focal loss."""
+
+    def __init__(self, num_classes: int, reduce: bool = True, ignore_id: int = 255):
+        self.num_classes = num_classes
+        self.reduce = reduce
+        self.ignore_id = ignore_id
+
+    def __call__(self, sample: Dict) -> Dict:
+        labels = np.array(sample["label"])
+        present = np.unique(labels)
+        distances = np.zeros((self.num_classes,) + labels.shape, np.float32) - 1.0
+        for i in range(self.num_classes):
+            if i not in present:
+                continue
+            mask = labels == i
+            if cv2 is not None:
+                dt = cv2.distanceTransform(mask.astype(np.uint8), cv2.DIST_L2, maskSize=3)
+            else:  # pragma: no cover
+                from scipy.ndimage import distance_transform_edt
+
+                dt = distance_transform_edt(mask).astype(np.float32)
+            distances[i][mask] = dt[mask]
+        if self.reduce:
+            ignore_mask = labels == self.ignore_id
+            distances[distances < 0] = 0
+            summed = distances.sum(axis=0)
+            std = np.std(summed)
+            if std == 0:  # all-ignore images (reference :681-684)
+                std = 1.0
+            weights = np.exp(-summed / (2.0 * std))
+            weights[ignore_mask] = 0.0
+            sample["label_distance_weight"] = weights.astype(np.float32)
+        else:
+            sample["label_distance_transform"] = distances
+        return sample
+
+
+class GammaCorrection:
+    """γ=0.4 LUT applied to night images only (weather id 1; reference
+    ``custom_transforms_acdc.py:695-711``)."""
+
+    def __init__(self, gamma: float = 0.4):
+        self.gamma = gamma
+        x = np.arange(256, dtype=np.float64)
+        self.lut = np.clip((x / 255.0) ** gamma * 255.0, 0, 255).astype(np.uint8)
+
+    def __call__(self, sample: Dict) -> Dict:
+        weather = sample.get("weather")
+        if weather is not None and int(np.asarray(weather).reshape(-1)[0]) == 1:
+            arr = np.array(sample["left"])
+            sample["left"] = Image.fromarray(self.lut[arr])
+        return sample
+
+
+class FixedResize:
+    """Deterministic val resize: bilinear image, nearest label
+    (reference ``custom_transforms_acdc.py:579-594``). ``size`` is (w, h)."""
+
+    def __init__(self, size: Tuple[int, int]):
+        self.size = size
+
+    def __call__(self, sample: Dict) -> Dict:
+        if sample.get("label") is not None:
+            sample["label"] = sample["label"].resize(self.size, Image.NEAREST)
+        sample["left"] = sample["left"].resize(self.size, Image.BILINEAR)
+        return sample
+
+
+class SetTargetSize:
+    """Attach (h, w) target metadata (reference
+    ``custom_transforms_acdc.py:597-613``)."""
+
+    def __init__(self, target_size, target_size_feats, stride: int = 4):
+        self.target_size = target_size
+        self.target_size_feats = target_size_feats
+        self.stride = stride
+
+    def __call__(self, sample: Dict) -> Dict:
+        sample["target_size"] = self.target_size[::-1]
+        sample["target_size_feats"] = self.target_size_feats[::-1]
+        sample["alphas"] = [-1]
+        sample["target_level"] = 0
+        return sample
+
+
+class CropBlackArea:
+    """Fixed crop (140, 30, 2030, 900) then resize back — removes the black
+    rectification border of the CityLostFound frames
+    (reference ``custom_transforms_acdc.py:617-648`` / custom_transforms2)."""
+
+    BOX = (140, 30, 2030, 900)
+
+    def __call__(self, sample: Dict) -> Dict:
+        w, h = sample["left"].size
+        sample["left"] = sample["left"].crop(self.BOX).resize((w, h), Image.BILINEAR)
+        if sample.get("label") is not None:
+            sample["label"] = sample["label"].crop(self.BOX).resize((w, h), Image.NEAREST)
+        return sample
+
+
+class ToArrays:
+    """PIL → numpy: HWC float32 image (0-255 scale — normalization lives in
+    the model, reference ``resnet_pyramid.py:296-304``), int64 label, int32
+    weather. The reference's ``Tensor`` transform emits CHW torch tensors
+    (``custom_transforms_acdc.py:713-762``); NHWC is the TPU-native layout."""
+
+    def __call__(self, sample: Dict) -> Dict:
+        out = dict(sample)
+        out["left"] = np.asarray(sample["left"], np.float32)
+        if sample.get("label") is not None:
+            out["label"] = np.asarray(sample["label"], np.int64)
+        if "weather" in sample and sample["weather"] is not None:
+            out["weather"] = np.asarray(sample["weather"], np.int32).reshape(())
+        return out

@@ -1,0 +1,77 @@
+"""Optimizer + LR schedule (reference ``utils/init_trainer.py:127-177,299-306``).
+
+ADAM policy (the published recipe, ``scripts/train_weather.sh``): two
+parameter groups —
+  random_init (decoder bottlenecks/blends + seg head): lr,   weight_decay
+  fine_tune   (ImageNet trunk):                        lr/4, weight_decay/4
+with betas (0.9, 0.99) and torch-style L2 (decay added to the gradient
+*before* the Adam moments, matching ``torch.optim.Adam(weight_decay=...)``).
+The weather classifier and SupCon projection head are 'frozen' by default —
+the reference never registers them with an optimizer (see
+``utils/params.py``).
+
+LR: cosine annealing per *epoch* from lr to last_lr over ``epochs``
+(``torch.optim.lr_scheduler.CosineAnnealingLR``, ``init_trainer.py:299-306``).
+SGD policy keeps the reference's 4-group layout (×0.1 specific, ×1 base,
+×10 semantic head) for the legacy recipes.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import jax.numpy as jnp
+import optax
+
+
+def cosine_annealing_schedule(base_lr: float, last_lr: float, epochs: int,
+                              steps_per_epoch: int) -> Callable:
+    """torch CosineAnnealingLR stepped once per epoch:
+    lr(e) = last + 0.5 (base - last) (1 + cos(π e / T))."""
+
+    def schedule(step):
+        epoch = jnp.floor_divide(step, max(steps_per_epoch, 1))
+        t = jnp.minimum(epoch, epochs).astype(jnp.float32)
+        return last_lr + 0.5 * (base_lr - last_lr) * (1 + jnp.cos(math.pi * t / epochs))
+
+    return schedule
+
+
+def _adam_group(lr_schedule: Callable, weight_decay: float) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),  # torch Adam L2-into-grad
+        optax.scale_by_adam(b1=0.9, b2=0.99),
+        optax.scale_by_learning_rate(lr_schedule),
+    )
+
+
+def _sgd_group(lr_schedule: Callable, weight_decay: float, factor: float) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.trace(decay=0.9),
+        optax.scale_by_learning_rate(lambda s: factor * lr_schedule(s)),
+    )
+
+
+def build_optimizer(cfg, param_labels, steps_per_epoch: int) -> optax.GradientTransformation:
+    sched = cosine_annealing_schedule(cfg.lr, cfg.last_lr, cfg.epochs, steps_per_epoch)
+    if cfg.optimizer_policy == "ADAM":
+        fine_tune_factor = 4.0
+        fine_sched = cosine_annealing_schedule(cfg.lr / fine_tune_factor,
+                                               cfg.last_lr / fine_tune_factor,
+                                               cfg.epochs, steps_per_epoch)
+        transforms = {
+            "random_init": _adam_group(sched, cfg.weight_decay),
+            "fine_tune": _adam_group(fine_sched, cfg.weight_decay / fine_tune_factor),
+            "frozen": optax.set_to_zero(),
+        }
+    elif cfg.optimizer_policy == "SGD":
+        transforms = {
+            "random_init": _sgd_group(sched, cfg.weight_decay, 10.0),  # semantic head ×10
+            "fine_tune": _sgd_group(sched, cfg.weight_decay, 1.0),
+            "frozen": optax.set_to_zero(),
+        }
+    else:
+        raise NotImplementedError(cfg.optimizer_policy)
+    return optax.multi_transform(transforms, param_labels)

@@ -1,0 +1,38 @@
+"""Train state pytree: params + BN running stats + optimizer state.
+
+Replaces the reference's scattered mutable state (``model.state_dict()``,
+``optimizer.state_dict()``, epoch counters on the Trainer) with one
+functional pytree that flows through the jitted step and checkpointing."""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array  # global iteration counter (num_iter in the reference)
+
+    def replace_step(self, step):
+        return self.replace(step=jnp.asarray(step, jnp.int32))
+
+
+def create_train_state(model, cfg, tx: optax.GradientTransformation,
+                       sample_batch, rng) -> TrainState:
+    variables = model.init(
+        rng, sample_batch["left"], train=True,
+        return_supcon_feature=cfg.use_supcon,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt_state = tx.init(params)
+    return TrainState(params=params, batch_stats=batch_stats,
+                      opt_state=opt_state, step=jnp.zeros((), jnp.int32))

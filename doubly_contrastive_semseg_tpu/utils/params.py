@@ -1,0 +1,51 @@
+"""Parameter utilities: counting + optimizer param-group labeling.
+
+The reference builds two ADAM groups for SwiftNet — ``random_init_params`` at
+lr and ``fine_tune_params`` (the ImageNet trunk) at lr/4
+(``utils/init_trainer.py:160-177``, ``network/resnet_pyramid.py:187-245``) —
+and never optimizes the weather classifier or the SupCon projection head
+(they live outside ``self.model``). Here every tensor is in one pytree, so
+groups are path-based labels for ``optax.multi_transform``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+
+FINE_TUNE_PREFIXES = (
+    # the pretrained trunk (reference resnet_pyramid.py:187-188 fine_tune list)
+    "conv1", "bn1_0", "bn1_1", "bn1_2", "layer1", "layer2", "layer3", "layer4",
+)
+
+
+def _label_for_path(path_names, cfg) -> str:
+    top = path_names[0]
+    if top == "weather_clf":
+        return "random_init" if cfg.train_weather_clf else "frozen"
+    if top == "projection":
+        return "random_init" if cfg.train_projection else "frozen"
+    # inside net/feature_extractor/...
+    if "feature_extractor" in path_names:
+        i = path_names.index("feature_extractor")
+        sub = path_names[i + 1] if i + 1 < len(path_names) else ""
+        if any(sub.startswith(p) for p in FINE_TUNE_PREFIXES):
+            return "fine_tune"
+        return "random_init"
+    # seg head + anything else model-side
+    return "random_init"
+
+
+def label_params_for_optimizer(params: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """Pytree of {'fine_tune','random_init','frozen'} labels matching params."""
+
+    def f(path, _leaf):
+        names = [p.key for p in path if hasattr(p, "key")]
+        return _label_for_path(names, cfg)
+
+    return jax.tree_util.tree_map_with_path(f, params)
+
+
+def count_parameters(params) -> int:
+    return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))

@@ -1,0 +1,46 @@
+#!/usr/bin/env python
+"""Training CLI (reference ``main.py:18-56``): seed, build Trainer, epoch loop
+train() → validate(); ``--test_only`` runs a single validation pass;
+``--tsne`` exports t-SNE feature visualizations."""
+
+from __future__ import annotations
+
+import logging
+import time
+
+from doubly_contrastive_semseg_tpu.config import parse_args
+from doubly_contrastive_semseg_tpu.utils import seed_all_rng
+
+
+def main() -> None:
+    cfg = parse_args()
+    seed_all_rng(cfg.random_seed)
+
+    if cfg.tsne:
+        from doubly_contrastive_semseg_tpu.tools.tsne import Viz
+
+        viz = Viz(cfg)
+        viz.run()
+        return
+
+    if cfg.test_only and cfg.resume is None:
+        raise RuntimeError("--test_only requires --resume <checkpoint>")
+
+    from doubly_contrastive_semseg_tpu.train import Trainer
+
+    trainer = Trainer(cfg)
+
+    if cfg.test_only:
+        trainer.test()
+        return
+
+    for epoch in range(trainer.cur_epochs, cfg.epochs):
+        t0 = time.time()
+        trainer.cur_epochs = epoch
+        trainer.train()
+        trainer.validate()
+        logging.info("epoch %d took %.1f s", epoch, time.time() - t0)
+
+
+if __name__ == "__main__":
+    main()

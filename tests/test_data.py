@@ -1,0 +1,156 @@
+"""Data pipeline: transforms semantics, loader collation, synthetic dataset."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from doubly_contrastive_semseg_tpu.config import parse_args
+from doubly_contrastive_semseg_tpu.data import (
+    DataLoader,
+    FixedResize,
+    GammaCorrection,
+    LabelBoundaryTransform,
+    RandomSquareCropAndScale,
+    SyntheticDataset,
+    ToArrays,
+    TwoCropTransform,
+    collate,
+    get_dataset,
+)
+from doubly_contrastive_semseg_tpu.data.weights import (
+    balanced_class_weights,
+    compute_class_frequencies,
+)
+
+
+def _sample(h=64, w=80, n_classes=5, seed=0, weather=0):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 255, (h, w, 3), np.uint8)
+    lbl = rng.integers(0, n_classes, (h, w)).astype(np.uint8)
+    lbl[:8, :8] = 255
+    return {
+        "left": Image.fromarray(img),
+        "label": Image.fromarray(lbl),
+        "weather": np.array([weather]),
+    }
+
+
+def test_random_square_crop_and_scale_shapes():
+    t = RandomSquareCropAndScale((48, 48), mean=(73, 82, 72), ignore_id=255,
+                                 rng=np.random.default_rng(0))
+    out = t(_sample())
+    assert out["left"].size == (48, 48)
+    assert out["label"].size == (48, 48)
+    # label stays a valid train-id/ignore map after nearest resize
+    lbl = np.array(out["label"])
+    assert set(np.unique(lbl)) <= set(range(5)) | {255}
+
+
+def test_label_boundary_transform_edt_properties():
+    s = _sample()
+    out = LabelBoundaryTransform(num_classes=5)(s)
+    w = out["label_distance_weight"]
+    lbl = np.array(s["label"])
+    assert w.shape == lbl.shape and w.dtype == np.float32
+    assert (w[lbl == 255] == 0).all()          # ignore pixels zeroed
+    inner = w[lbl != 255]
+    assert (inner > 0).all() and (inner <= 1).all()  # exp(-d/2σ) ∈ (0, 1]
+    # pixels at class boundaries (distance 1) must weigh more than interior
+    interior = np.full((32, 32), 2, np.uint8)
+    interior[16:, :] = 3
+    s2 = {"label": Image.fromarray(interior)}
+    w2 = LabelBoundaryTransform(num_classes=5)(s2)["label_distance_weight"]
+    assert w2[16, 5] > w2[8, 5]  # boundary row > interior row
+
+
+def test_label_boundary_transform_all_ignore_is_zero():
+    s = {"label": Image.fromarray(np.full((16, 16), 255, np.uint8))}
+    w = LabelBoundaryTransform(num_classes=5)(s)["label_distance_weight"]
+    assert (w == 0).all()
+
+
+def test_gamma_correction_night_only():
+    s_night = _sample(weather=1)
+    s_fog = _sample(weather=0)
+    g = GammaCorrection()
+    before_n = np.array(s_night["left"]).copy()
+    out_n = np.array(g(s_night)["left"])
+    out_f = np.array(g(s_fog)["left"])
+    assert not np.array_equal(out_n, before_n)     # night image brightened
+    assert np.array_equal(out_f, np.array(_sample(weather=0)["left"]))
+    assert out_n.mean() > before_n.mean()          # γ=0.4 brightens
+
+
+def test_fixed_resize():
+    out = FixedResize((40, 24))(_sample())
+    assert out["left"].size == (40, 24)
+    assert out["label"].size == (40, 24)
+
+
+def test_two_crop_and_collate():
+    crop = RandomSquareCropAndScale((32, 32), (73, 82, 72),
+                                    rng=np.random.default_rng(1))
+    to_arrays = ToArrays()
+    t = TwoCropTransform(lambda s: to_arrays(crop(s)))
+    pairs = [t(_sample(seed=i)) for i in range(3)]
+    batch = collate(pairs)
+    assert batch["left"].shape == (6, 32, 32, 3)   # 2B concat (trainer.py:66-72)
+    assert batch["label"].shape == (3, 32, 32)
+    # the two views of the same sample must differ (independent crops)
+    assert not np.array_equal(batch["left"][0], batch["left"][3])
+
+
+def test_synthetic_end_to_end_loader():
+    cfg = parse_args(["--dataset", "synthetic", "--criterion",
+                      "supcon_pixelcontrast_focal", "--train_semantic", "--debug"])
+    train_dst, val_dst = get_dataset(cfg, seed=0)
+    dl = DataLoader(train_dst, batch_size=2, shuffle=True, num_workers=2, drop_last=True)
+    batch = next(iter(dl))
+    assert batch["left"].shape == (4, 96, 96, 3)       # two-crop 2B
+    assert batch["label"].shape == (2, 96, 96)
+    assert batch["label_distance_weight"].shape == (2, 96, 96)
+    assert batch["weather"].shape == (2,)
+    vdl = DataLoader(val_dst, batch_size=2, num_workers=2)
+    vbatch = next(iter(vdl))
+    assert vbatch["left"].shape == (2, 128, 160, 3)
+    assert len(dl) == 4  # 8 samples / bs2
+
+
+def test_loader_shuffle_deterministic_per_epoch():
+    """Batch *order* is a pure function of (seed, epoch); augmentation itself
+    stays stochastic across passes, like the reference DataLoader."""
+    cfg = parse_args(["--dataset", "synthetic", "--criterion", "none", "--debug"])
+    train_dst, _ = get_dataset(cfg, seed=0)
+    dl = DataLoader(train_dst, batch_size=4, shuffle=True, num_workers=2, seed=7)
+    dl.set_epoch(1)
+    a = [b.tolist() for b in dl._batch_indices()]
+    dl.set_epoch(1)
+    b = [b.tolist() for b in dl._batch_indices()]
+    dl.set_epoch(2)
+    c = [b.tolist() for b in dl._batch_indices()]
+    assert a == b
+    assert a != c  # different epoch, different shuffle
+
+
+def test_class_weights():
+    cfg = parse_args(["--dataset", "synthetic", "--criterion", "none", "--debug"])
+    _, val_dst = get_dataset(cfg, seed=0)
+    freq = compute_class_frequencies(val_dst, cfg.num_classes)
+    assert freq.shape == (19,) and abs(freq.sum() - 1.0) < 1e-6
+    w = balanced_class_weights(freq, 0.1)
+    assert (w > 0).all()
+    # rarer classes get larger weights
+    order = np.argsort(freq)
+    assert w[order[0]] >= w[order[-1]]
+
+
+def test_acdc_label_encoding_roundtrip():
+    from doubly_contrastive_semseg_tpu.data import ACDC
+
+    raw = np.array([[7, 8, 26], [0, 33, 24]], np.uint8)  # road, sidewalk, car...
+    enc = ACDC.encode_target(Image.fromarray(raw))
+    assert enc.tolist() == [[0, 1, 13], [255, 18, 11]]
+    color = ACDC.decode_target(enc.copy())
+    assert color[0, 0].tolist() == [128, 64, 128]  # road color
+    assert ACDC.convert_color_to_eval_id((128, 64, 128)) == 0
+    assert ACDC.convert_color_to_eval_id((0, 0, 0)) == 255
