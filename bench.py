@@ -14,8 +14,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# persistent compile cache: repeated bench runs skip the (slow, remote) compile
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 BASELINE_FPS = 66.7
 
@@ -30,8 +34,15 @@ def run_bench(height: int, width: int, batch_size: int, iters: int,
     model = DCSSModel(
         backbone="resnet18", num_classes=19, weather_num=4,
         dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
-    x = jnp.ones((batch_size, height, width, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x[:1], train=False)
+    # init on the host CPU backend (eager init over the TPU tunnel pays a
+    # per-op round trip — minutes), then ship the params across once
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        x_small = jnp.ones((1, 128, 256, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x_small, train=False)
+    device = jax.devices()[0]
+    variables = jax.device_put(variables, device)
+    x = jax.device_put(jnp.ones((batch_size, height, width, 3), jnp.float32), device)
 
     @jax.jit
     def forward(params, batch_stats, image):

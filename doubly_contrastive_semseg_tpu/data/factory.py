@@ -63,6 +63,16 @@ def get_dataset(cfg, seed: int = 0):
     """Returns (train_dst, val_dst)."""
     crop_wh = cfg.crop_wh
 
+    if cfg.dataset == "acdc_city":
+        from .acdc_city import ACDC_City
+
+        train_t, val_t = build_transforms(cfg, crop_wh, seed)
+        train_dst = ACDC_City(root=cfg.data_root, mode="train",
+                              transform=train_t, opts=cfg)
+        val_dst = ACDC_City(root=cfg.data_root, mode="val",
+                            transform=val_t, opts=cfg)
+        return train_dst, val_dst
+
     if cfg.dataset == "acdc":
         train_t, val_t = build_transforms(cfg, crop_wh, seed)
         train_dst = ACDC(root=cfg.data_root, dataset_name="acdc", mode="train",

@@ -159,7 +159,11 @@ def pixel_contrast_loss(
     anchors sampled, contrast computed. ``ignore_label=255`` never matches a
     class id, so ignored pixels drop out of every mask automatically."""
     b, h, w, dd = feats.shape
-    preds = jnp.argmax(predict_logits, axis=-1)                       # (B, h, w)
+    preds = jnp.argmax(predict_logits, axis=-1)
+    # match prediction resolution to the feature map (identity for SwiftNet/
+    # DeepLab where both live at seg_beforeup's res; needed for ENet whose
+    # head emits full-resolution logits — reference enet.py:641)
+    preds = resize_nearest(preds, (h, w))                             # (B, h, w)
     labels_ds = resize_nearest(labels, (h, w))                        # (B, h, w)
 
     feats_flat = feats.reshape(b, h * w, dd).astype(jnp.float32)

@@ -1,0 +1,231 @@
+"""Stereo disparity slice: adaptive cost aggregation + refinement + the
+RODSNet-style disparity network.
+
+Covers the reference's stereo-era capability (SURVEY.md §2.4 L-rows):
+- ``AdaptiveAggregation`` (AANet-style intra-scale deformable bottlenecks +
+  cross-scale fusion; reference ``network/aggregation.py:70-467``),
+- StereoNet-style edge-aware refinement and the semantic-guided variant with
+  channel attention (reference ``network/refinement.py:20-1093``,
+  ``Refine_disp_sem`` family),
+- ``StereoDCSS``: shared pyramid backbone on both views → correlation cost
+  volume pyramid → aggregation → soft-argmin → refinement, plus the semantic
+  head (the RODSNet joint disparity+segmentation configuration).
+
+The cost-volume plumbing is in ``ops/cost_volume.py``; deformable convs in
+``ops/deform_conv.py`` (replacing the CUDA extension).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.cost_volume import cost_volume_pyramid, soft_argmin_disparity
+from ..ops.deform_conv import DeformConv2d
+from ..ops.interpolate import resize_bilinear
+from .blocks import BNReluConv, batch_norm, conv_kxk
+from .resnet_pyramid import resnet18_pyramid
+
+Dtype = Any
+
+
+class DeformSimpleBottleneck(nn.Module):
+    """conv1×1 → deformable 3×3 → conv1×1 residual block (reference
+    ``network/deform.py:94-231`` ``DeformSimpleBottleneck``)."""
+
+    planes: int
+    mdconv_dilation: int = 2
+    deformable_groups: int = 2
+    modulation: bool = True
+    double_mask: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        residual = x
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
+                      param_dtype=jnp.float32, name="conv1")(x)
+        out = batch_norm(self.dtype, name="bn1")(out, use_running_average=not train)
+        out = nn.relu(out)
+        out = DeformConv2d(self.planes, kernel_size=3, stride=1,
+                           padding=self.mdconv_dilation, dilation=self.mdconv_dilation,
+                           deformable_groups=self.deformable_groups,
+                           modulation=self.modulation, double_mask=self.double_mask,
+                           dtype=self.dtype, name="mdconv")(out)
+        out = batch_norm(self.dtype, name="bn2")(out, use_running_average=not train)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
+                      param_dtype=jnp.float32, name="conv3")(out)
+        out = batch_norm(self.dtype, name="bn3")(out, use_running_average=not train)
+        if residual.shape[-1] != self.planes:
+            residual = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
+                               param_dtype=jnp.float32, name="downsample")(x)
+        return nn.relu(out + residual)
+
+
+class AdaptiveAggregation(nn.Module):
+    """AANet adaptive aggregation: per-scale stacks of deformable bottlenecks
+    (ISA) + cross-scale fusion (CSA) (reference ``aggregation.py:70-467``).
+    Operates on a pyramid of (B, H_i, W_i, D_i) cost volumes."""
+
+    num_scales: int = 3
+    num_fusions: int = 6
+    num_stage_blocks: int = 1
+    num_deform_blocks: int = 3
+    mdconv_dilation: int = 2
+    deformable_groups: int = 2
+    no_intermediate_supervision: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, volumes: Sequence[jax.Array], train: bool) -> List[jax.Array]:
+        vols = list(volumes)
+        for f in range(self.num_fusions):
+            # intra-scale: deform blocks on the coarsest scales (AANet puts
+            # deformable aggregation at the low-res volumes)
+            new_vols = []
+            for s, v in enumerate(vols):
+                use_deform = f >= self.num_fusions - self.num_deform_blocks
+                for b in range(self.num_stage_blocks):
+                    name = f"isa_f{f}_s{s}_b{b}"
+                    if use_deform:
+                        v = DeformSimpleBottleneck(
+                            v.shape[-1], mdconv_dilation=self.mdconv_dilation,
+                            deformable_groups=self.deformable_groups,
+                            dtype=self.dtype, name=name)(v, train)
+                    else:
+                        r = conv_kxk(v.shape[-1], 3, dtype=self.dtype,
+                                     name=name + "_conv")(v)
+                        r = batch_norm(self.dtype, name=name + "_bn")(
+                            r, use_running_average=not train)
+                        v = nn.relu(v + r)
+                new_vols.append(v)
+            # cross-scale fusion: every scale receives every other scale,
+            # resampled and 1×1-projected (HRNet-style exchange)
+            fused = []
+            for si, vi in enumerate(new_vols):
+                acc = vi
+                for sj, vj in enumerate(new_vols):
+                    if sj == si:
+                        continue
+                    proj = nn.Conv(vi.shape[-1], (1, 1), use_bias=False,
+                                   dtype=self.dtype, param_dtype=jnp.float32,
+                                   name=f"csa_f{f}_{sj}to{si}")(vj)
+                    proj = resize_bilinear(proj, (vi.shape[-3], vi.shape[-2]))
+                    acc = acc + proj
+                fused.append(acc)
+            vols = fused
+        return vols
+
+
+class StereoNetRefinement(nn.Module):
+    """Edge-aware residual refinement: concat(disp, image) → conv → dilated
+    residual blocks → residual disparity (reference ``refinement.py:20-79``)."""
+
+    channels: int = 32
+    dilations: Tuple[int, ...] = (1, 2, 4, 8, 1, 1)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, disp: jax.Array, img: jax.Array, train: bool) -> jax.Array:
+        # upsample low-res disparity to image resolution; disparity values
+        # scale with width (reference refinement.py upsample-and-scale rule)
+        hw = (img.shape[-3], img.shape[-2])
+        scale = hw[1] / disp.shape[-1]
+        d = resize_bilinear(disp[..., None], hw) * scale
+        x = jnp.concatenate([d, img.astype(d.dtype)], axis=-1)
+        x = conv_kxk(self.channels, 3, dtype=self.dtype, name="conv_in")(x)
+        for i, dil in enumerate(self.dilations):
+            r = conv_kxk(self.channels, 3, dilation=dil, dtype=self.dtype,
+                         name=f"res{i}_conv1")(nn.relu(x))
+            r = batch_norm(self.dtype, name=f"res{i}_bn")(r, use_running_average=not train)
+            x = x + r
+        delta = conv_kxk(1, 3, bias=True, dtype=self.dtype, name="conv_out")(nn.relu(x))
+        return nn.relu(d + delta)[..., 0]
+
+
+class SemanticGuidedRefinement(nn.Module):
+    """Disparity refinement guided by semantic decoder features with channel
+    attention (reference ``Refine_disp_sem`` family, ``refinement.py`` —
+    semantic features gate the disparity residual via a squeeze-excite)."""
+
+    channels: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, disp: jax.Array, img: jax.Array, sem_feat: jax.Array,
+                 train: bool) -> jax.Array:
+        hw = (img.shape[-3], img.shape[-2])
+        scale = hw[1] / disp.shape[-1]
+        d = resize_bilinear(disp[..., None], hw) * scale
+        sem = resize_bilinear(sem_feat, hw)
+        sem = nn.Conv(self.channels, (1, 1), use_bias=False, dtype=self.dtype,
+                      param_dtype=jnp.float32, name="sem_proj")(sem.astype(self.dtype))
+        x = jnp.concatenate([d, img.astype(d.dtype)], axis=-1)
+        x = conv_kxk(self.channels, 3, dtype=self.dtype, name="conv_in")(x)
+        # channel attention from semantic context (squeeze-excite gate)
+        gate = jnp.mean(sem, axis=(-3, -2))
+        gate = nn.Dense(self.channels, dtype=self.dtype, name="se_fc1")(gate)
+        gate = nn.relu(gate)
+        gate = nn.Dense(self.channels, dtype=self.dtype, name="se_fc2")(gate)
+        gate = jax.nn.sigmoid(gate)[:, None, None, :]
+        x = nn.relu(x) * gate + sem
+        for i, dil in enumerate((1, 2, 4, 1)):
+            r = conv_kxk(self.channels, 3, dilation=dil, dtype=self.dtype,
+                         name=f"res{i}_conv")(nn.relu(x))
+            r = batch_norm(self.dtype, name=f"res{i}_bn")(r, use_running_average=not train)
+            x = x + r
+        delta = conv_kxk(1, 3, bias=True, dtype=self.dtype, name="conv_out")(nn.relu(x))
+        return nn.relu(d + delta)[..., 0]
+
+
+class StereoDCSS(nn.Module):
+    """Joint disparity + semantics (the RODSNet-era configuration): shared
+    SwiftNet pyramid trunk over both views, correlation cost-volume pyramid,
+    adaptive aggregation, soft-argmin, semantic-guided refinement, and the
+    segmentation head on the left view."""
+
+    max_disp: int = 192
+    num_classes: int = 19
+    num_scales: int = 1
+    refinement_type: str = "semantic"  # stereonet | semantic
+    train_semantic: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, left: jax.Array, right: jax.Array, *,
+                 train: bool = False) -> Dict[str, jax.Array]:
+        fe = resnet18_pyramid(dtype=self.dtype, name="feature_extractor")
+        left_feat, _ = fe(left, train=train)     # (B, H/4, W/4, 128)
+        right_feat, _ = fe(right, train=train)
+
+        vols = cost_volume_pyramid([left_feat], [right_feat],
+                                   self.max_disp // 4, "correlation")
+        vols = AdaptiveAggregation(num_scales=1, num_fusions=3,
+                                   num_deform_blocks=2, dtype=self.dtype,
+                                   name="aggregation")(vols, train)
+        disp_low = soft_argmin_disparity(vols[0])  # (B, H/4, W/4), units: /4 px
+
+        out: Dict[str, jax.Array] = {"disp_pyramid": [disp_low]}
+        if self.train_semantic:
+            seg_beforeup = BNReluConv(self.num_classes, k=1, batch_norm=True,
+                                      bias=True, dtype=self.dtype,
+                                      name="segmentation")(left_feat, train=train)
+            seg_beforeup = seg_beforeup.astype(jnp.float32)
+            out["seg_beforeup"] = seg_beforeup
+            out["seg"] = resize_bilinear(
+                seg_beforeup, (left.shape[-3], left.shape[-2]))
+
+        if self.refinement_type == "semantic" and self.train_semantic:
+            disp = SemanticGuidedRefinement(dtype=self.dtype, name="refinement")(
+                disp_low, left, left_feat, train)
+        else:
+            disp = StereoNetRefinement(dtype=self.dtype, name="refinement")(
+                disp_low, left, train)
+        out["disp"] = disp
+        out["fine_feat"] = left_feat
+        out["fine_feat0"] = left_feat
+        return out

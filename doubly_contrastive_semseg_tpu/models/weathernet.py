@@ -157,7 +157,7 @@ class DCSSModel(nn.Module):
 def build_model(cfg) -> nn.Module:
     """Model factory mirroring reference ``utils/init_trainer.py:97-111``."""
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    if cfg.deeplab:
+    if cfg.deeplab or cfg.model.startswith("deeplabv3"):
         from .deeplab import build_deeplab_dcss  # noqa: deferred heavy import
 
         return build_deeplab_dcss(cfg, dtype)

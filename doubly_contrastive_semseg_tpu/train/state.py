@@ -27,9 +27,10 @@ class TrainState:
 
 def create_train_state(model, cfg, tx: optax.GradientTransformation,
                        sample_batch, rng) -> TrainState:
+    k_params, k_drop = jax.random.split(rng)
     variables = model.init(
-        rng, sample_batch["left"], train=True,
-        return_supcon_feature=cfg.use_supcon,
+        {"params": k_params, "dropout": k_drop}, sample_batch["left"],
+        train=True, return_supcon_feature=cfg.use_supcon,
     )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})

@@ -32,12 +32,13 @@ def make_train_step(model, cfg, tx) -> Callable:
     on_acdc = cfg.dataset in ("acdc", "acdc_city", "synthetic")
 
     def loss_fn(params, batch_stats, batch, rng):
+        rng_drop, rng_loss = jax.random.split(rng)
         outputs, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["left"], train=True, return_supcon_feature=use_supcon,
-            mutable=["batch_stats"],
+            mutable=["batch_stats"], rngs={"dropout": rng_drop},
         )
-        total, comps = compute_total_loss(cfg, outputs, batch, batch["class_weight"], rng)
+        total, comps = compute_total_loss(cfg, outputs, batch, batch["class_weight"], rng_loss)
         aux = {"outputs": outputs, "batch_stats": mutated["batch_stats"], "comps": comps}
         return total, aux
 

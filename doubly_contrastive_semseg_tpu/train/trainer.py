@@ -83,6 +83,17 @@ class Trainer:
             opt_state=self.tx.init(tmp_state.params), step=tmp_state.step)
         self.state = jax.device_put(self.state, replicate_sharding(self.mesh))
 
+        # ImageNet / reference-checkpoint weight import (--pretrained <path>;
+        # reference loads torchvision weights at model build, resnet_pyramid.py:397-405)
+        if cfg.pretrained:
+            from ..utils.torch_convert import load_pretrained
+
+            p, bs, _ = load_pretrained(self.state.params, self.state.batch_stats,
+                                       cfg.pretrained)
+            self.state = self.state.replace(
+                params=jax.device_put(p, replicate_sharding(self.mesh)),
+                batch_stats=jax.device_put(bs, replicate_sharding(self.mesh)))
+
         n_params = count_parameters(self.state.params)
         self.saver.save_parameters(n_params)
         logging.info("model %s: %.2fM params on %d device(s)",

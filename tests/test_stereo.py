@@ -1,0 +1,134 @@
+"""Stereo slice: cost volumes, soft-argmin, warp, deform conv, metrics,
+disparity loss, and the joint StereoDCSS model."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from doubly_contrastive_semseg_tpu.losses.disparity import (  # noqa: E402
+    disparity_loss,
+    smoothness_loss,
+)
+from doubly_contrastive_semseg_tpu.metrics.disparity import (  # noqa: E402
+    d1_metric,
+    epe_metric,
+    thres_metric,
+)
+from doubly_contrastive_semseg_tpu.ops.cost_volume import (  # noqa: E402
+    correlation_cost_volume,
+    soft_argmin_disparity,
+)
+from doubly_contrastive_semseg_tpu.ops.deform_conv import (  # noqa: E402
+    DeformConv2d,
+    modulated_deform_conv,
+)
+from doubly_contrastive_semseg_tpu.ops.warp import disp_warp  # noqa: E402
+
+
+def test_correlation_volume_recovers_shift(rng):
+    """A right image that is the left shifted by d* must peak at d*."""
+    b, h, w, c = 1, 8, 32, 16
+    left = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    d_true = 5
+    right = jnp.roll(left, -d_true, axis=2)  # right view: shifted left
+    vol = correlation_cost_volume(left, right, max_disp=12)
+    # away from the wrap-around region the argmax over disparity is d*
+    am = np.asarray(jnp.argmax(vol, axis=-1))[0, :, 12:-12]
+    assert (am == d_true).mean() > 0.9
+    disp = soft_argmin_disparity(vol * 50.0)  # sharpen softmax
+    assert abs(float(disp[0, 4, 16]) - d_true) < 0.1
+
+
+def test_disp_warp_reconstructs():
+    b, h, w, c = 1, 4, 16, 2
+    right = jnp.asarray(np.arange(b * h * w * c, dtype=np.float32).reshape(b, h, w, c))
+    disp = jnp.full((b, h, w), 3.0)
+    warped, mask = disp_warp(right, disp)
+    # warped(x) = right(x-3) for x >= 3
+    np.testing.assert_allclose(np.asarray(warped)[0, :, 3:],
+                               np.asarray(right)[0, :, :-3], rtol=1e-5)
+    assert (np.asarray(mask)[0, :, :3] == 0).all()
+
+
+def test_deform_conv_zero_offsets_equals_regular_conv(rng):
+    """offsets = 0, mask = 1 → exactly a regular dense conv (the reference
+    zero-inits its offset conv for this reason, deform.py:66-70)."""
+    b, h, w, ci, co = 1, 8, 8, 4, 6
+    x = jnp.asarray(rng.standard_normal((b, h, w, ci)).astype(np.float32))
+    kernel = jnp.asarray(rng.standard_normal((3, 3, ci, co)).astype(np.float32))
+    offset = jnp.zeros((b, h, w, 2 * 9))
+    mask = jnp.ones((b, h, w, 9))
+    got = modulated_deform_conv(x, offset, mask, kernel, stride=1, padding=1,
+                                dilation=1, deform_groups=1)
+    want = jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=1e-4)
+
+
+def test_deform_conv_integer_offset_shifts_sampling(rng):
+    """A +1 x-offset on every tap equals convolving the x-shifted image."""
+    b, h, w, ci, co = 1, 10, 10, 3, 5
+    x = jnp.asarray(rng.standard_normal((b, h, w, ci)).astype(np.float32))
+    kernel = jnp.asarray(rng.standard_normal((3, 3, ci, co)).astype(np.float32))
+    offset = jnp.zeros((b, h, w, 9, 2)).at[..., 1].set(1.0).reshape(b, h, w, 18)
+    got = modulated_deform_conv(x, offset, None, kernel, stride=1, padding=1,
+                                deform_groups=1)
+    x_shift = jnp.pad(x, ((0, 0), (0, 0), (0, 1), (0, 0)))[:, :, 1:, :]
+    want = jax.lax.conv_general_dilated(
+        x_shift, kernel, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    # interior matches; the border column differs (zero-pad vs shifted pad)
+    np.testing.assert_allclose(np.asarray(got)[:, 1:-1, 1:-2],
+                               np.asarray(want)[:, 1:-1, 1:-2], rtol=2e-4, atol=1e-4)
+
+
+def test_deform_conv2d_module_grads(rng):
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 4)).astype(np.float32))
+    m = DeformConv2d(features=4, kernel_size=3, stride=1, padding=2, dilation=2,
+                     deformable_groups=2)
+    v = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(v, x)
+    assert y.shape == (1, 8, 8, 4)
+    g = jax.grad(lambda p: jnp.sum(m.apply(p, x) ** 2))(v)
+    # offset conv is zero-init but must receive gradient through sampling
+    assert float(jnp.abs(g["params"]["offset_conv"]["kernel"]).sum()) > 0
+
+
+def test_disparity_metrics():
+    gt = jnp.asarray([[0.0, 10.0, 20.0, 100.0]])
+    pred = jnp.asarray([[5.0, 11.0, 24.0, 100.0]])
+    # valid: last 3 (gt>0); errors 1, 4, 0
+    np.testing.assert_allclose(float(epe_metric(pred, gt)), (1 + 4 + 0) / 3, rtol=1e-6)
+    # d1: err>3 AND err>5%gt → only the '24 vs 20' pixel
+    np.testing.assert_allclose(float(d1_metric(pred, gt)), 1 / 3, rtol=1e-6)
+    np.testing.assert_allclose(float(thres_metric(pred, gt, 3.0)), 1 / 3, rtol=1e-6)
+
+
+def test_disparity_loss_pyramid(rng):
+    gt = jnp.asarray(rng.uniform(1, 50, (2, 16, 32)).astype(np.float32))
+    full = gt + 0.5
+    half = jnp.asarray(rng.uniform(1, 25, (2, 8, 16)).astype(np.float32))
+    loss = disparity_loss([half, full], gt)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    # perfect prediction at all scales → ~0 (up to resize error on the coarse)
+    exact = disparity_loss([full - 0.5], gt)
+    np.testing.assert_allclose(float(exact), 0.0, atol=1e-6)
+    img = jnp.asarray(rng.uniform(0, 255, (2, 16, 32, 3)).astype(np.float32))
+    assert float(smoothness_loss(gt, img)) >= 0
+
+
+def test_stereo_model_forward(rng):
+    from doubly_contrastive_semseg_tpu.models.stereo import StereoDCSS
+
+    m = StereoDCSS(max_disp=32, num_classes=19, dtype=jnp.float32)
+    left = jnp.asarray(rng.uniform(0, 255, (1, 64, 64, 3)).astype(np.float32))
+    right = jnp.asarray(rng.uniform(0, 255, (1, 64, 64, 3)).astype(np.float32))
+    v = m.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+               left, right, train=False)
+    out = m.apply(v, left, right, train=False)
+    assert out["disp"].shape == (1, 64, 64)
+    assert out["seg"].shape == (1, 64, 64, 19)
+    assert np.isfinite(np.asarray(out["disp"])).all()
