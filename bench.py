@@ -44,12 +44,16 @@ def run_bench(height: int, width: int, batch_size: int, iters: int,
     variables = jax.device_put(variables, device)
     x = jax.device_put(jnp.ones((batch_size, height, width, 3), jnp.float32), device)
 
+    from doubly_contrastive_semseg_tpu.ops.input_pipeline import upsample4x_argmax
+
     @jax.jit
     def forward(params, batch_stats, image):
         out = model.apply({"params": params, "batch_stats": batch_stats},
                           image, train=False)
-        # argmax on device: the consumer-visible output is the label map
-        return jnp.argmax(out["seg"], axis=-1).astype(jnp.int32)
+        # serving output is the full-res label map; the ×4 upsample + argmax
+        # runs in planar layout (equals argmax(out["seg"]) — see
+        # ops/input_pipeline.upsample4x_argmax)
+        return upsample4x_argmax(out["seg_beforeup"])
 
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
 

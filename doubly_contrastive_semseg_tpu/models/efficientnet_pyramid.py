@@ -1,0 +1,165 @@
+"""EfficientNet-B0 pyramid backbone.
+
+Re-design of reference ``network/backbone/efficientnet_pyramid.py:35-531`` +
+the vendored ``efficientnet_pytorch`` lib (MBConv blocks, swish, SE,
+drop-connect, same-padding convs). The reference's wiring is broken as
+shipped: its forward returns 3 values while ``WeatherNet.feature_extraction``
+unpacks 2 (``weathernet.py:68-70``) — ``--model efficientnetb0`` crashes.
+Here the backbone honors the PyramidResNet contract exactly:
+``(decoded 128-ch features @ 1/4 res, additional)``.
+
+Structure mirrors the SwiftNet pyramid recipe: 3-level bicubic input pyramid,
+shared MBConv trunk with per-level stem BN, 1×1 bottlenecks to 128 ch off the
+stride-4/8/16/32 stage boundaries, resolution-indexed skip accumulation, and
+the same UpsampleBlend decoder.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .blocks import UpsampleBlend, conv_kxk
+
+Dtype = Any
+
+# (expand_ratio, channels, repeats, stride, kernel) — EfficientNet-B0
+B0_BLOCKS = (
+    (1, 16, 1, 1, 3),
+    (6, 24, 2, 2, 3),
+    (6, 40, 2, 2, 5),
+    (6, 80, 3, 2, 3),
+    (6, 112, 3, 1, 5),
+    (6, 192, 4, 2, 5),
+    (6, 320, 1, 1, 3),
+)
+# stage indices whose outputs feed the skip bottlenecks (strides 4/8/16/32)
+SKIP_STAGES = {1: 0, 2: 1, 4: 2, 6: 3}
+
+
+def _bn(dtype, name):
+    # efficientnet BN: momentum 0.01, eps 1e-3 (efficientnet_pytorch/utils.py)
+    return nn.BatchNorm(momentum=0.99, epsilon=1e-3, dtype=dtype,
+                        param_dtype=jnp.float32, name=name)
+
+
+class MBConv(nn.Module):
+    """Mobile inverted bottleneck with squeeze-excite and drop-connect."""
+
+    features: int
+    expand_ratio: int
+    kernel: int = 3
+    stride: int = 1
+    se_ratio: float = 0.25
+    drop_connect: float = 0.2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        in_ch = x.shape[-1]
+        hidden = in_ch * self.expand_ratio
+        use_res = self.stride == 1 and in_ch == self.features
+        out = x
+        if self.expand_ratio != 1:
+            out = nn.Conv(hidden, (1, 1), use_bias=False, dtype=self.dtype,
+                          param_dtype=jnp.float32, name="expand_conv")(out)
+            out = _bn(self.dtype, "bn0")(out, use_running_average=not train)
+            out = nn.swish(out)
+        p = self.kernel // 2
+        out = nn.Conv(hidden, (self.kernel, self.kernel),
+                      strides=(self.stride, self.stride),
+                      padding=[(p, p), (p, p)], feature_group_count=hidden,
+                      use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                      name="depthwise_conv")(out)
+        out = _bn(self.dtype, "bn1")(out, use_running_average=not train)
+        out = nn.swish(out)
+        # squeeze-excite
+        se_ch = max(1, int(in_ch * self.se_ratio))
+        se = jnp.mean(out, axis=(-3, -2), keepdims=True)
+        se = nn.Conv(se_ch, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
+                     name="se_reduce")(se)
+        se = nn.swish(se)
+        se = nn.Conv(hidden, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
+                     name="se_expand")(se)
+        out = out * jax.nn.sigmoid(se)
+        out = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+                      param_dtype=jnp.float32, name="project_conv")(out)
+        out = _bn(self.dtype, "bn2")(out, use_running_average=not train)
+        if use_res:
+            if train and self.drop_connect > 0:
+                keep = 1.0 - self.drop_connect
+                rng = self.make_rng("dropout")
+                mask = jax.random.bernoulli(rng, keep, (out.shape[0], 1, 1, 1))
+                out = out / keep * mask.astype(out.dtype)
+            out = out + x
+        return out
+
+
+class PyramidEfficientNet(nn.Module):
+    """EfficientNet-B0 trunk in the SwiftNet pyramid harness; returns
+    (128-ch decoded features @ 1/4 res, additional dict)."""
+
+    num_features: int = 128
+    pyramid_levels: int = 3
+    k_upsample: int = 3
+    dtype: Dtype = jnp.float32
+    mean: Tuple[float, float, float] = (73.15, 82.90, 72.3)
+    std: Tuple[float, float, float] = (47.67, 48.49, 47.73)
+
+    @nn.compact
+    def __call__(self, image: jax.Array, *, train: bool = False):
+        from ..ops.input_pipeline import (
+            build_pyramid_planar, s2d_stem_geometry, space_to_depth2_nhwc)
+
+        # planar pyramid + s2d stem (same rationale as PyramidResNet)
+        pyramid = build_pyramid_planar(image, self.pyramid_levels,
+                                       self.mean, self.std, self.dtype)
+        k_s2d, pad_s2d = s2d_stem_geometry(3)
+        stem_conv = nn.Conv(32, (k_s2d, k_s2d), strides=(1, 1),
+                            padding=[pad_s2d, pad_s2d], use_bias=False,
+                            dtype=self.dtype, param_dtype=jnp.float32,
+                            name="stem_conv")
+        stem_bns = [_bn(self.dtype, f"stem_bn_{i}") for i in range(self.pyramid_levels)]
+
+        stages = []
+        for si, (t, c, n, s, k) in enumerate(B0_BLOCKS):
+            blocks = [MBConv(c, t, kernel=k, stride=(s if bi == 0 else 1),
+                             dtype=self.dtype, name=f"stage{si}_{bi}")
+                      for bi in range(n)]
+            stages.append(blocks)
+
+        bnecks = {si: conv_kxk(self.num_features, k=1, dtype=self.dtype,
+                               name=f"upsample_bottlenecks{j + 1}")
+                  for si, j in SKIP_STAGES.items()}
+
+        num_skips = self.pyramid_levels + 3
+        skips: Dict[int, list] = {lvl: [] for lvl in range(num_skips)}
+
+        for idx, p in enumerate(pyramid):
+            x = stem_conv(space_to_depth2_nhwc(p))
+            x = stem_bns[idx](x, use_running_average=not train)
+            x = nn.swish(x)
+            for si, blocks in enumerate(stages):
+                for blk in blocks:
+                    x = blk(x, train)
+                if si in SKIP_STAGES:
+                    skips[idx + SKIP_STAGES[si]].append(bnecks[si](x))
+
+        skips_r = [skips[lvl] for lvl in reversed(range(num_skips))]
+        x = skips_r[0][0]
+        additional = {"skips_0": x, "pyramid": pyramid}
+        for i in range(1, num_skips):
+            skip_sum = skips_r[i][0]
+            for s in skips_r[i][1:]:
+                skip_sum = skip_sum + s
+            x = UpsampleBlend(self.num_features, k=self.k_upsample,
+                              dtype=self.dtype, name=f"upsample_blends{i}")(
+                x, skip_sum, train=train)
+        return x, additional
+
+
+def efficientnet_pyramid(dtype: Dtype = jnp.float32, **kw) -> PyramidEfficientNet:
+    return PyramidEfficientNet(dtype=dtype, **kw)

@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.interpolate import pyramid_subsample
 from .blocks import BNReluConv, UpsampleBlend, batch_norm, conv_kxk, max_pool_3x3_s2
 
 Dtype = Any
@@ -92,12 +91,16 @@ class PyramidResNet(nn.Module):
 
     @nn.compact
     def __call__(self, image: jax.Array, *, train: bool = False):
-        # input normalization lives in the model (reference resnet_pyramid.py:296-304)
-        mean = jnp.asarray(self.mean, dtype=jnp.float32)
-        std = jnp.asarray(self.std, dtype=jnp.float32)
-        image = ((image - mean) / std).astype(self.dtype)
+        from ..ops.input_pipeline import (
+            build_pyramid_planar, s2d_stem_geometry, space_to_depth2_nhwc)
 
-        pyramid = pyramid_subsample(image, self.pyramid_levels)
+        # normalization + bicubic pyramid in planar layout, stem as an
+        # s2d(2) 4×4/s1 conv — C=3 NHWC work starves the TPU vector lanes
+        # (see ops/input_pipeline.py); reference semantics are identical
+        # (normalization: resnet_pyramid.py:296-304, pyramid: :306-314,
+        # stem: :139, weights convertible bit-exactly from the dense form).
+        pyramid = build_pyramid_planar(image, self.pyramid_levels,
+                                       self.mean, self.std, self.dtype)
 
         block_cls = BasicBlock
         if self.efficient:
@@ -107,7 +110,9 @@ class PyramidResNet(nn.Module):
 
         # shared trunk modules (weight sharing across pyramid levels comes from
         # calling the same module instances on every level)
-        stem_conv = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+        k_s2d, pad_s2d = s2d_stem_geometry(7)
+        stem_conv = nn.Conv(64, (k_s2d, k_s2d), strides=(1, 1),
+                            padding=[pad_s2d, pad_s2d],
                             use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
                             name="conv1")
         stem_bns = [batch_norm(self.dtype, name=f"bn1_{i}") for i in range(self.pyramid_levels)]
@@ -133,7 +138,7 @@ class PyramidResNet(nn.Module):
         additional: Dict[str, Any] = {"pyramid": pyramid}
 
         for idx, p in enumerate(pyramid):
-            x = stem_conv(p)
+            x = stem_conv(space_to_depth2_nhwc(p))
             x = stem_bns[idx](x, use_running_average=not train)
             x = nn.relu(x)
             x = max_pool_3x3_s2(x)

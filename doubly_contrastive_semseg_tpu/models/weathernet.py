@@ -90,6 +90,10 @@ class WeatherNet(nn.Module):
         elif self.backbone == "resnet34":
             fe = resnet34_pyramid(dtype=self.dtype, efficient=self.efficient,
                                   name="feature_extractor")
+        elif self.backbone == "efficientnetb0":
+            from .efficientnet_pyramid import PyramidEfficientNet
+
+            fe = PyramidEfficientNet(dtype=self.dtype, name="feature_extractor")
         else:
             raise NotImplementedError(f"backbone {self.backbone}")
 
@@ -165,7 +169,7 @@ def build_model(cfg) -> nn.Module:
         from .enet import build_enet_dcss
 
         return build_enet_dcss(cfg, dtype)
-    if cfg.model in ("resnet18", "resnet34"):
+    if cfg.model in ("resnet18", "resnet34", "efficientnetb0"):
         return DCSSModel(backbone=cfg.model, num_classes=cfg.num_classes,
                          weather_num=cfg.weather_num, dtype=dtype)
     raise NotImplementedError(f"model {cfg.model}")

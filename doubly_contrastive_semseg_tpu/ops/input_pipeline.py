@@ -1,0 +1,152 @@
+"""Planar input/output pipelines for tiny channel counts.
+
+TPU vector units are (8, 128): an elementwise op over an NHWC array with
+C = 3 (raw images) or C = 19 (segmentation logits) uses 3/128 of every lane
+register. Profiling on a v5e shows the input pyramid + stem and the final
+logits upsample dominating SwiftNet inference for exactly this reason.
+
+This module keeps tiny-channel work in a *planar* (B, C, H, W) layout where
+the lane dimension is W:
+
+- ``normalize_planar`` + ``downsample2x_bicubic_planar``: the image pyramid
+  as phase-sliced 4-tap blends (pure VPU, fully-utilized lanes, no convs,
+  no gathers);
+- ``space_to_depth2_nhwc``: (B, C, H, W) → (B, H/2, W/2, 4C) so the 7×7/s2
+  stem becomes a 4×4/s1 conv over 12 input channels
+  (``stem_s2d_kernel_from_dense`` rearranges dense 7×7×3×64 weights into the
+  equivalent sparse 4×4×12×64 form — bit-exact, see tests);
+- ``upsample4x_argmax``: the ×4 bilinear logits upsample + argmax with
+  channels on the sublane axis, fused by XLA into a single streaming pass
+  (the NHWC version costs ~40 ms/batch8 at 2048×1024; this one is
+  bandwidth-bound).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# 4-tap bicubic /2 weights (torch a=-0.75 at half-pixel centers)
+_T0, _T1 = -0.09375, 0.59375
+
+
+def to_planar(x_nhwc: jax.Array) -> jax.Array:
+    return x_nhwc.transpose(0, 3, 1, 2)
+
+
+def normalize_planar(xp: jax.Array, mean: Sequence[float], std: Sequence[float],
+                     dtype=jnp.bfloat16) -> jax.Array:
+    mean = jnp.asarray(mean, jnp.float32).reshape(1, -1, 1, 1)
+    std = jnp.asarray(std, jnp.float32).reshape(1, -1, 1, 1)
+    return ((xp - mean) / std).astype(dtype)
+
+
+def _down2_axis_planar(v: jax.Array, axis: int) -> jax.Array:
+    """4-tap /2 bicubic along ``axis`` via even/odd phase slices."""
+    n = v.shape[axis]
+    pad = [(0, 0)] * v.ndim
+    pad[axis] = (1, 1)
+    vp = jnp.pad(v, pad, mode="edge")  # length n+2
+    # output k ∈ [0, n/2) reads padded positions 2k, 2k+1, 2k+2, 2k+3
+    def ph(start):
+        return jax.lax.slice_in_dim(vp, start, start + n - 1, stride=2, axis=axis)
+
+    t0 = ph(0)
+    t1 = ph(1)
+    t2 = ph(2)
+    t3 = ph(3)
+    return _T0 * t0 + _T1 * t1 + _T1 * t2 + _T0 * t3
+
+
+def downsample2x_bicubic_planar(xp: jax.Array) -> jax.Array:
+    """(B, C, H, W) → (B, C, H/2, W/2), matches ``downsample2x_bicubic``."""
+    xp = _down2_axis_planar(xp, xp.ndim - 2)
+    xp = _down2_axis_planar(xp, xp.ndim - 1)
+    return xp
+
+
+def space_to_depth2_nhwc(xp: jax.Array) -> jax.Array:
+    """(B, C, H, W) → (B, H/2, W/2, 4C), channel order c*4 + i0*2 + j0 where
+    (i0, j0) is the pixel's position inside its 2×2 cell."""
+    b, c, h, w = xp.shape
+    xr = xp.reshape(b, c, h // 2, 2, w // 2, 2)
+    xr = xr.transpose(0, 2, 4, 1, 3, 5)              # (B, H/2, W/2, C, 2, 2)
+    return xr.reshape(b, h // 2, w // 2, c * 4)
+
+
+def s2d_stem_geometry(k: int) -> Tuple[int, Tuple[int, int]]:
+    """(new kernel size, (pad_left, pad_right)) for a k×k/stride-2/pad-k//2
+    conv re-expressed over the s2d(2) grid."""
+    p = k // 2
+    qs = [(ty - p) >> 1 for ty in range(k)]
+    q_min, q_max = min(qs), max(qs)
+    return q_max - q_min + 1, (-q_min, q_max)
+
+
+def stem_s2d_kernel_from_dense(w_dense: np.ndarray) -> np.ndarray:
+    """Dense stride-2 stem kernel (k, k, C, O) → s2d(2) stride-1 kernel
+    (k', k', 4C, O) (k=7 → k'=4 with pad (2,1); k=3 → k'=2 with pad (1,0)).
+
+    Derivation: output pixel o of the dense conv reads input row
+    r = 2o − p + ty = 2(o + q) + i0 with q = (ty−p)>>1, i0 = (ty−p)&1 —
+    i.e. s2d cell o+q at in-cell phase i0."""
+    kh, kw, c, o = w_dense.shape
+    assert kh == kw and kh % 2 == 1
+    p = kh // 2
+    k_new, (pl_, _) = s2d_stem_geometry(kh)
+    w_new = np.zeros((k_new, k_new, 4 * c, o), w_dense.dtype)
+    for ty in range(kh):
+        ka = ((ty - p) >> 1) + pl_
+        i0 = (ty - p) & 1
+        for tx in range(kw):
+            kb = ((tx - p) >> 1) + pl_
+            j0 = (tx - p) & 1
+            for ci in range(c):
+                w_new[ka, kb, ci * 4 + i0 * 2 + j0, :] = w_dense[ty, tx, ci, :]
+    return w_new
+
+
+def build_pyramid_planar(image_nhwc: jax.Array, levels: int,
+                         mean: Sequence[float], std: Sequence[float],
+                         dtype=jnp.bfloat16) -> List[jax.Array]:
+    """Normalized planar pyramid [x, x/2, x/4, ...] ready for the s2d stem."""
+    xp = normalize_planar(to_planar(image_nhwc), mean, std, dtype)
+    out = [xp]
+    for _ in range(1, levels):
+        out.append(downsample2x_bicubic_planar(out[-1]))
+    return out
+
+
+def upsample4x_argmax(logits_nhwc: jax.Array) -> jax.Array:
+    """argmax over classes of the ×4 bilinear-upsampled logits, computed in
+    planar layout so the channel reduction runs over full lanes.
+    (B, h, w, C) → (B, 4h, 4w) int32. Equals
+    ``argmax(resize_bilinear(logits, 4x))`` up to dtype."""
+    lp = logits_nhwc.transpose(0, 3, 1, 2)  # (B, C, h, w)
+
+    def up4(v, axis):
+        n = v.shape[axis]
+        pad = [(0, 0)] * v.ndim
+        pad[axis] = (1, 1)
+        vp = jnp.pad(v, pad, mode="edge")
+        prev = jax.lax.slice_in_dim(vp, 0, n, axis=axis)
+        cur = jax.lax.slice_in_dim(vp, 1, n + 1, axis=axis)
+        nxt = jax.lax.slice_in_dim(vp, 2, n + 2, axis=axis)
+        phases = []
+        for r in range(4):
+            off = (r + 0.5) / 4 - 0.5
+            if off < 0:
+                phases.append((-off) * prev + (1.0 + off) * cur)
+            else:
+                phases.append((1.0 - off) * cur + off * nxt)
+        st = jnp.stack(phases, axis=axis + 1)
+        shape = list(v.shape)
+        shape[axis] = 4 * n
+        return st.reshape(shape)
+
+    lp = up4(lp, 2)
+    lp = up4(lp, 3)
+    return jnp.argmax(lp, axis=1).astype(jnp.int32)

@@ -35,46 +35,56 @@ def resize_bilinear(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
     """Bilinear resize with half-pixel centers (torch ``align_corners=False``).
 
     Equivalent to ``F.interpolate(x, size, mode='bilinear',
-    align_corners=False)`` (reference ``network/utils.py:8``). Fast ×2 path for
-    the decoder ladder; everything else goes through ``jax.image.resize``
-    (same half-pixel convention, antialias off — we only ever upsample here).
+    align_corners=False)`` (reference ``network/utils.py:8``). Integer upsample
+    factors (the decoder ladder's ×2 and the final ×4 to input resolution)
+    lower to per-phase 2-tap blends + interleave — pure VPU work XLA fuses,
+    no gathers; everything else goes through ``jax.image.resize`` (same
+    half-pixel convention, antialias off — we only ever upsample here).
     """
     h, w = x.shape[-3], x.shape[-2]
     if (h, w) == tuple(size):
         return x
-    if _is_2x(tuple(size), (h, w)):
-        return upsample2x_bilinear(x)
+    if size[0] % h == 0 and size[1] % w == 0:
+        return upsample_nx_bilinear(x, size[0] // h, size[1] // w)
     out_shape = x.shape[:-3] + (size[0], size[1], x.shape[-1])
     return jax.image.resize(x, out_shape, method="bilinear", antialias=False)
 
 
-def upsample2x_bilinear(x: jax.Array) -> jax.Array:
-    """×2 bilinear upsample, half-pixel centers, as a pure blend + interleave.
+def upsample_nx_bilinear(x: jax.Array, ny: int, nx_: int) -> jax.Array:
+    """Integer-factor bilinear upsample (align_corners=False) as static phase
+    blends: output ``N·k + r`` reads source ``k + (r+0.5)/N − 0.5``, i.e. each
+    of the N phases is a fixed 2-tap blend of adjacent source pixels."""
 
-    With align_corners=False the source coordinate of output row ``2k`` is
-    ``k - 0.25`` and of ``2k+1`` is ``k + 0.25``; each output row is therefore a
-    fixed (0.75, 0.25) blend of two adjacent input rows with edge clamping.
-    This avoids gathers entirely — XLA fuses it into neighboring ops.
-    """
-
-    def up_axis(v: jax.Array, axis: int) -> jax.Array:
+    def up_axis(v: jax.Array, axis: int, n: int) -> jax.Array:
+        if n == 1:
+            return v
         pad = [(0, 0)] * v.ndim
         pad[axis] = (1, 1)
         vp = jnp.pad(v, pad, mode="edge")
-        n = v.shape[axis]
-        prev = jax.lax.slice_in_dim(vp, 0, n, axis=axis)
-        cur = jax.lax.slice_in_dim(vp, 1, n + 1, axis=axis)
-        nxt = jax.lax.slice_in_dim(vp, 2, n + 2, axis=axis)
-        even = 0.25 * prev + 0.75 * cur
-        odd = 0.75 * cur + 0.25 * nxt
-        stacked = jnp.stack([even, odd], axis=axis + 1)
+        m = v.shape[axis]
+        prev = jax.lax.slice_in_dim(vp, 0, m, axis=axis)
+        cur = jax.lax.slice_in_dim(vp, 1, m + 1, axis=axis)
+        nxt = jax.lax.slice_in_dim(vp, 2, m + 2, axis=axis)
+        phases = []
+        for r in range(n):
+            off = (r + 0.5) / n - 0.5
+            if off < 0:
+                phases.append((-off) * prev + (1.0 + off) * cur)
+            else:
+                phases.append((1.0 - off) * cur + off * nxt)
+        stacked = jnp.stack(phases, axis=axis + 1)
         new_shape = list(v.shape)
-        new_shape[axis] = 2 * n
+        new_shape[axis] = n * m
         return stacked.reshape(new_shape)
 
-    x = up_axis(x, x.ndim - 3)  # H
-    x = up_axis(x, x.ndim - 2)  # W
+    x = up_axis(x, x.ndim - 3, ny)
+    x = up_axis(x, x.ndim - 2, nx_)
     return x
+
+
+def upsample2x_bilinear(x: jax.Array) -> jax.Array:
+    """×2 bilinear upsample (phase blends; see ``upsample_nx_bilinear``)."""
+    return upsample_nx_bilinear(x, 2, 2)
 
 
 def resize_nearest(x: jax.Array, size: Tuple[int, int]) -> jax.Array:

@@ -60,11 +60,16 @@ def _bn_entries(sd: Dict, torch_prefix: str, params: Dict, stats: Dict, path) ->
 def convert_torchvision_resnet(state_dict: Dict) -> Tuple[Dict, Dict]:
     """torchvision resnet18/34 state dict → (params, batch_stats) subtree for
     ``PyramidResNet`` (keys relative to the feature_extractor)."""
+    from ..ops.input_pipeline import stem_s2d_kernel_from_dense
+
     params: Dict = {}
     stats: Dict = {}
     sd = {k: v for k, v in state_dict.items()}
 
-    _set(params, ("conv1", "kernel"), _conv_kernel(sd["conv1.weight"]))
+    # stem: dense 7×7/s2 weights → the model's s2d(2) 4×4/s1 form (bit-exact
+    # rearrangement, see ops/input_pipeline.py)
+    _set(params, ("conv1", "kernel"),
+         stem_s2d_kernel_from_dense(_conv_kernel(sd["conv1.weight"])))
     for lvl in range(3):  # bn1 fan-out (resnet_pyramid.py:388-393)
         _bn_entries(sd, "bn1", params, stats, (f"bn1_{lvl}",))
 

@@ -1,0 +1,67 @@
+"""Planar input/output pipeline: must be numerically identical to the
+reference-parity NHWC ops it replaces."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from doubly_contrastive_semseg_tpu.ops.input_pipeline import (  # noqa: E402
+    build_pyramid_planar,
+    downsample2x_bicubic_planar,
+    s2d_stem_geometry,
+    space_to_depth2_nhwc,
+    stem_s2d_kernel_from_dense,
+    to_planar,
+    upsample4x_argmax,
+)
+from doubly_contrastive_semseg_tpu.ops.interpolate import (  # noqa: E402
+    downsample2x_bicubic,
+    resize_bilinear,
+)
+
+
+def test_planar_bicubic_matches_nhwc(rng):
+    x = rng.standard_normal((2, 16, 24, 3)).astype(np.float32)
+    want = np.asarray(downsample2x_bicubic(jnp.asarray(x)))
+    got = np.asarray(downsample2x_bicubic_planar(to_planar(jnp.asarray(x))))
+    np.testing.assert_allclose(got.transpose(0, 2, 3, 1), want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("k", [7, 3])
+def test_s2d_stem_equals_dense_conv(rng, k):
+    b, h, w, c, o = 2, 16, 20, 3, 8
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    w_dense = rng.standard_normal((k, k, c, o)).astype(np.float32)
+    p = k // 2
+    want = jax.lax.conv_general_dilated(
+        x, jnp.asarray(w_dense), (2, 2), [(p, p), (p, p)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    xs = space_to_depth2_nhwc(to_planar(x))
+    w_s2d = jnp.asarray(stem_s2d_kernel_from_dense(w_dense))
+    _, pad = s2d_stem_geometry(k)
+    got = jax.lax.conv_general_dilated(
+        xs, w_s2d, (1, 1), [pad, pad],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_build_pyramid_planar_shapes(rng):
+    x = jnp.asarray(rng.uniform(0, 255, (1, 32, 64, 3)).astype(np.float32))
+    pyr = build_pyramid_planar(x, 3, (73.15, 82.9, 72.3), (47.67, 48.49, 47.73),
+                               dtype=jnp.float32)
+    assert [p.shape for p in pyr] == [(1, 3, 32, 64), (1, 3, 16, 32), (1, 3, 8, 16)]
+    # normalization applied
+    want = (np.asarray(x)[0, 0, 0] - np.array([73.15, 82.9, 72.3])) / \
+        np.array([47.67, 48.49, 47.73])
+    np.testing.assert_allclose(np.asarray(pyr[0][0, :, 0, 0]), want, rtol=1e-5)
+
+
+def test_upsample4x_argmax_matches_reference_path(rng):
+    logits = jnp.asarray(rng.standard_normal((2, 8, 12, 19)).astype(np.float32))
+    want = np.asarray(jnp.argmax(
+        resize_bilinear(logits, (32, 48)), axis=-1))
+    got = np.asarray(upsample4x_argmax(logits))
+    assert (got == want).mean() > 0.999  # ties may flip on dtype order

@@ -24,7 +24,9 @@ def _to_nhwc(t):
     return t.numpy().transpose(0, 2, 3, 1)
 
 
-@pytest.mark.parametrize("in_hw,out_hw", [((6, 6), (12, 12)), ((5, 7), (20, 28)), ((4, 4), (16, 16))])
+@pytest.mark.parametrize("in_hw,out_hw", [((6, 6), (12, 12)), ((5, 7), (20, 28)),
+                                          ((4, 4), (16, 16)), ((5, 6), (15, 18)),
+                                          ((4, 6), (8, 30))])
 def test_bilinear_matches_torch_align_corners_false(rng, in_hw, out_hw):
     x = rng.standard_normal((2, *in_hw, 3)).astype(np.float32)
     got = np.asarray(resize_bilinear(jnp.asarray(x), out_hw))

@@ -1,0 +1,33 @@
+"""Fused contrastive kernel (interpret mode on CPU) vs the XLA reference
+implementation — must agree to float tolerance."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from doubly_contrastive_semseg_tpu.losses.supcon import supcon_loss  # noqa: E402
+from doubly_contrastive_semseg_tpu.ops.contrastive_pallas import (  # noqa: E402
+    supcon_loss_pallas,
+)
+
+
+@pytest.mark.parametrize("with_labels", [True, False])
+def test_pallas_supcon_matches_xla(rng, with_labels):
+    b, d = 16, 64
+    f = jnp.asarray(rng.standard_normal((b, 2, d)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 4, (b,))) if with_labels else None
+    want = float(supcon_loss(f, labels))
+    got = float(supcon_loss_pallas(f, labels, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_pallas_supcon_large_n(rng):
+    """N > one tile (streams multiple column tiles)."""
+    b, d = 160, 32  # N = 320 → 3 tiles of 128
+    f = jnp.asarray(rng.standard_normal((b, 2, d)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 7, (b,)))
+    want = float(supcon_loss(f, labels))
+    got = float(supcon_loss_pallas(f, labels, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4)

@@ -61,8 +61,12 @@ def test_load_torchvision_resnet18(tmp_path):
 
     fe = params["net"]["feature_extractor"]
     fe_s = stats["net"]["feature_extractor"]
-    # conv kernel transposed (O,I,kH,kW) -> (kH,kW,I,O)
-    want = sd["conv1.weight"].numpy().transpose(2, 3, 1, 0)
+    # stem: transposed (O,I,7,7) -> (7,7,3,64) -> s2d (4,4,12,64)
+    from doubly_contrastive_semseg_tpu.ops.input_pipeline import (
+        stem_s2d_kernel_from_dense)
+
+    want = stem_s2d_kernel_from_dense(
+        sd["conv1.weight"].numpy().transpose(2, 3, 1, 0))
     np.testing.assert_allclose(np.asarray(fe["conv1"]["kernel"]), want, rtol=1e-6)
     # bn1 fanned out to all three stem BNs (resnet_pyramid.py:388-393)
     for lvl in range(3):
