@@ -1,0 +1,42 @@
+"""Inference/serving entry points.
+
+``make_serving_fn`` builds the fastest correct image→label-map function for a
+model: for the SwiftNet family it bypasses the generic seg-head + upsample
+graph and feeds the decoder features straight into the fused Pallas serving
+head (``ops/seghead_pallas.py``), which computes BN→ReLU→1×1 conv →
+×4 bilinear → argmax in one pass. Other model families fall back to the
+planar upsample+argmax path.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.input_pipeline import upsample4x_argmax
+from ..ops.seghead_pallas import fused_seghead_upsample_argmax
+
+
+def make_serving_fn(model, use_pallas_head: bool = True) -> Callable:
+    """Returns fn(variables, image) -> (B, H, W) int32 label map."""
+    is_weathernet = hasattr(model, "backbone")  # DCSSModel
+
+    def serve(variables, image):
+        if is_weathernet and use_pallas_head:
+            out = model.apply(variables, image, train=False)
+            seg_p = variables["params"]["net"]["segmentation"]
+            seg_s = variables["batch_stats"]["net"]["segmentation"]
+            return fused_seghead_upsample_argmax(
+                out["fine_feat"],
+                seg_p["norm"]["scale"], seg_p["norm"]["bias"],
+                seg_s["norm"]["mean"], seg_s["norm"]["var"],
+                seg_p["conv"]["kernel"], seg_p["conv"]["bias"],
+            )
+        out = model.apply(variables, image, train=False)
+        if out["seg_beforeup"].shape[1] * 4 == out["seg"].shape[1]:
+            return upsample4x_argmax(out["seg_beforeup"])
+        return jnp.argmax(out["seg"], axis=-1).astype(jnp.int32)
+
+    return serve

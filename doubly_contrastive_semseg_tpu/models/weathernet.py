@@ -105,11 +105,13 @@ class WeatherNet(nn.Module):
         else:
             fine_feat0 = fine_feat
 
+        from ..ops.input_pipeline import image_hw
+
         seg_beforeup = BNReluConv(self.num_classes, k=1, batch_norm=True, bias=True,
                                   dtype=self.dtype, name="segmentation")(
             fine_feat0, train=train)
         seg_beforeup = seg_beforeup.astype(jnp.float32)
-        seg = resize_bilinear(seg_beforeup, (image.shape[-3], image.shape[-2]))
+        seg = resize_bilinear(seg_beforeup, image_hw(image))
 
         return {
             "seg": seg,

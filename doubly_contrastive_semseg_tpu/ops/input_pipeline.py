@@ -33,8 +33,20 @@ import numpy as np
 _T0, _T1 = -0.09375, 0.59375
 
 
-def to_planar(x_nhwc: jax.Array) -> jax.Array:
-    return x_nhwc.transpose(0, 3, 1, 2)
+def is_planar_image(x: jax.Array) -> bool:
+    """(B, 3, H, W) vs (B, H, W, 3). The host loader can feed planar batches
+    directly (``--planar_input``) so the device never pays the relayout."""
+    return x.ndim == 4 and x.shape[1] == 3 and x.shape[3] != 3
+
+
+def image_hw(x: jax.Array) -> Tuple[int, int]:
+    return (x.shape[2], x.shape[3]) if is_planar_image(x) else (x.shape[1], x.shape[2])
+
+
+def to_planar(x: jax.Array) -> jax.Array:
+    if is_planar_image(x):
+        return x
+    return x.transpose(0, 3, 1, 2)
 
 
 def normalize_planar(xp: jax.Array, mean: Sequence[float], std: Sequence[float],

@@ -1,0 +1,157 @@
+"""Fused segmentation serving head — Pallas TPU kernel.
+
+Computes, in one pass over the decoder features:
+    labels = argmax_c( upsample×4_bilinear( conv1×1( relu( BN(x) ) ) ) )
+i.e. the SwiftNet seg head (``network/weathernet.py:61-62``: BN→ReLU→1×1) +
+the final bilinear upsample to input resolution (``weathernet.py:85``) +
+the prediction argmax (``trainer.py:349``), without ever materializing the
+full-resolution logits: at 2048×1024×19 those are ~640 MB of HBM traffic per
+batch-8 inference that XLA writes and re-reads. The kernel reads the 128-ch
+features once (MXU matmul per tile) and writes only the int32 label map.
+
+Grid: (batch, row-tiles). The feature map arrives padded by one row/col of
+edge replication so every tile's interpolation halo is uniform; each program
+DMAs its (TILE_H+2, W+2, 128) feature slab HBM→VMEM, computes channel-planar
+logits (C, TILE_H+2, W+2) with one (C×128)·(128×N) MXU contraction, expands
+the 4 bilinear phases per axis, and argmaxes over the C planes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_H = 8  # input rows per program (→ 32 output rows)
+
+
+def _phases4(prev: jax.Array, cur: jax.Array, nxt: jax.Array):
+    """The 4 half-pixel phases of a ×4 bilinear upsample along an axis."""
+    out = []
+    for r in range(4):
+        off = (r + 0.5) / 4 - 0.5
+        if off < 0:
+            out.append((-off) * prev + (1.0 + off) * cur)
+        else:
+            out.append((1.0 - off) * cur + off * nxt)
+    return out
+
+
+def _kernel(feat_hbm, wt_ref, ab_ref, bias_ref,
+            out0_ref, out1_ref, out2_ref, out3_ref, scratch, sem,
+            *, tile_h: int, w: int, w_pad: int, c_pad: int):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+
+    # DMA this tile's feature slab (tile_h+2 halo rows, w+2 halo cols) into
+    # the lane-aligned scratch (junk columns [w+2, w_pad) are never read)
+    copy = pltpu.make_async_copy(
+        feat_hbm.at[b, pl.ds(i * tile_h, tile_h + 2)],
+        scratch.at[:, pl.ds(0, w + 2), :], sem)
+    copy.start()
+    copy.wait()
+
+    x = scratch[:]                                   # (tile_h+2, w_pad, 128)
+    a = ab_ref[0, :]                                 # folded BN scale
+    bb = ab_ref[1, :]                                # folded BN shift
+    h = jnp.maximum(x.astype(jnp.float32) * a + bb, 0.0)
+
+    n = (tile_h + 2) * w_pad
+    h2 = h.reshape(n, h.shape[-1])
+    # channel-planar logits: (C, 128) · (N, 128)ᵀ → (C, N); minor dims stay
+    # multiples of 128 so Mosaic accepts every reshape
+    logits = jax.lax.dot_general(
+        wt_ref[:], h2, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # per-class bias; padded classes carry -1e30 so they never win the argmax
+    logits = logits + bias_ref[:]
+    logits = logits.reshape(c_pad, tile_h + 2, w_pad)
+
+    # H phases: rows k ∈ [0, tile_h) use halo rows k, k+1, k+2
+    prev = logits[:, 0:tile_h, :]
+    cur = logits[:, 1:tile_h + 1, :]
+    nxt = logits[:, 2:tile_h + 2, :]
+    hp = jnp.stack(_phases4(prev, cur, nxt), axis=2)          # (C, th, 4, w_pad)
+    hp = hp.reshape(c_pad, 4 * tile_h, w_pad)
+
+    # W phases: cols j ∈ [0, w) use halo cols j, j+1, j+2. Lane-interleaving
+    # (and even stacking) the 4 phases trips Mosaic layout inference — each
+    # phase argmaxes independently into its own output; the caller interleaves
+    # with one XLA transpose.
+    prevw = hp[:, :, 0:w]
+    curw = hp[:, :, 1:w + 1]
+    nxtw = hp[:, :, 2:w + 2]
+    outs = (out0_ref, out1_ref, out2_ref, out3_ref)
+    for r, phase in enumerate(_phases4(prevw, curw, nxtw)):   # each (C, 4th, w)
+        outs[r][0, :, :] = jnp.argmax(phase, axis=0).astype(jnp.int32)
+
+
+def fused_seghead_upsample_argmax(
+    feat: jax.Array,        # (B, h, w, 128) decoder features (any float dtype)
+    bn_scale: jax.Array, bn_bias: jax.Array,
+    bn_mean: jax.Array, bn_var: jax.Array,
+    conv_kernel: jax.Array,  # (1, 1, 128, C) or (128, C)
+    conv_bias: jax.Array,    # (C,)
+    *,
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> jax.Array:
+    """(B, 4h, 4w) int32 label map. Matches
+    ``argmax(resize_bilinear(BNReluConv(feat), 4×))`` (eval-mode BN)."""
+    b, h, w, cin = feat.shape
+    kernel2d = conv_kernel.reshape(cin, -1)
+    c = kernel2d.shape[-1]
+    c_pad = max(8, ((c + 7) // 8) * 8)
+
+    # fold BN (eval mode) into scale/shift: x̂ = x·a + b
+    a = (bn_scale / jnp.sqrt(bn_var + eps)).astype(jnp.float32)
+    bias = (bn_bias - bn_mean * a).astype(jnp.float32)
+    ab = jnp.stack([a, bias], axis=0)                          # (2, 128)
+
+    cin_p = ((cin + 127) // 128) * 128
+    # weights transposed to (C_pad, cin_p); per-class bias as a (C_pad, 1)
+    # column with -1e30 on padded classes
+    wt_full = jnp.zeros((c_pad, cin_p), jnp.float32).at[:c, :cin].set(kernel2d.T)
+    bias_col = jnp.full((c_pad, 1), -1e30, jnp.float32)
+    bias_col = bias_col.at[:c, 0].set(conv_bias.astype(jnp.float32).reshape(-1))
+    ab_full = jnp.zeros((2, cin_p), jnp.float32).at[:, :cin].set(ab)
+
+    # pad features: +1 row/col edge replicate for the interpolation halo
+    assert h % TILE_H == 0, f"h={h} must be divisible by {TILE_H}"
+    featp = jnp.pad(feat.astype(jnp.float32), ((0, 0), (1, 1), (1, 1), (0, 0)),
+                    mode="edge")
+    if cin_p != cin:
+        featp = jnp.pad(featp, ((0, 0), (0, 0), (0, 0), (0, cin_p - cin)))
+
+    w_pad = ((w + 2 + 127) // 128) * 128
+    grid = (b, h // TILE_H)
+    kernel = functools.partial(_kernel, tile_h=TILE_H, w=w, w_pad=w_pad,
+                               c_pad=c_pad)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),                 # feat (manual DMA)
+            pl.BlockSpec((c_pad, cin_p), lambda b_, i: (0, 0),
+                         memory_space=pltpu.VMEM),             # weights
+            pl.BlockSpec((2, cin_p), lambda b_, i: (0, 0),
+                         memory_space=pltpu.VMEM),             # bn scale/shift
+            pl.BlockSpec((c_pad, 1), lambda b_, i: (0, 0),
+                         memory_space=pltpu.VMEM),             # class bias
+        ],
+        out_specs=[pl.BlockSpec((1, 4 * TILE_H, w), lambda b_, i: (b_, i, 0),
+                                memory_space=pltpu.VMEM) for _ in range(4)],
+        out_shape=[jax.ShapeDtypeStruct((b, 4 * h, w), jnp.int32)
+                   for _ in range(4)],
+        scratch_shapes=[
+            pltpu.VMEM((TILE_H + 2, w_pad, cin_p), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(featp, wt_full, ab_full, bias_col)
+    # interleave the 4 W-phases: 4 × (B, 4h, w) → (B, 4h, w, 4) → (B, 4h, 4w)
+    return jnp.stack(out, axis=-1).reshape(b, 4 * h, 4 * w)

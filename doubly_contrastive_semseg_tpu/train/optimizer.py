@@ -38,6 +38,33 @@ def cosine_annealing_schedule(base_lr: float, last_lr: float, epochs: int,
     return schedule
 
 
+def build_lr_schedule(cfg, steps_per_epoch: int) -> Callable:
+    """The reference's ``--lr_policy`` family: the active ``cos_annealing``
+    (``init_trainer.py:299-306``) plus the in-repo poly/step/cos variants
+    (``utils/lr_scheduler.py:6-125``, ``utils/scheduler.py:3-12``)."""
+    policy = cfg.lr_policy
+    if policy == "cos_annealing":
+        return cosine_annealing_schedule(cfg.lr, cfg.last_lr, cfg.epochs,
+                                         steps_per_epoch)
+    total_steps = max(1, cfg.epochs * steps_per_epoch)
+    if policy == "poly":
+        def poly(step):
+            t = jnp.minimum(step, total_steps).astype(jnp.float32)
+            return cfg.lr * (1.0 - t / total_steps) ** 0.9
+        return poly
+    if policy == "step":
+        def step_sched(step):
+            k = jnp.floor_divide(step, max(cfg.step_size, 1)).astype(jnp.float32)
+            return cfg.lr * (0.1 ** k)
+        return step_sched
+    if policy in ("cos", "cos_step"):
+        def cos(step):
+            t = jnp.minimum(step, total_steps).astype(jnp.float32)
+            return 0.5 * cfg.lr * (1 + jnp.cos(math.pi * t / total_steps))
+        return cos
+    raise NotImplementedError(policy)
+
+
 def _adam_group(lr_schedule: Callable, weight_decay: float) -> optax.GradientTransformation:
     return optax.chain(
         optax.add_decayed_weights(weight_decay),  # torch Adam L2-into-grad
@@ -55,12 +82,10 @@ def _sgd_group(lr_schedule: Callable, weight_decay: float, factor: float) -> opt
 
 
 def build_optimizer(cfg, param_labels, steps_per_epoch: int) -> optax.GradientTransformation:
-    sched = cosine_annealing_schedule(cfg.lr, cfg.last_lr, cfg.epochs, steps_per_epoch)
+    sched = build_lr_schedule(cfg, steps_per_epoch)
     if cfg.optimizer_policy == "ADAM":
         fine_tune_factor = 4.0
-        fine_sched = cosine_annealing_schedule(cfg.lr / fine_tune_factor,
-                                               cfg.last_lr / fine_tune_factor,
-                                               cfg.epochs, steps_per_epoch)
+        fine_sched = (lambda s: sched(s) / fine_tune_factor)
         transforms = {
             "random_init": _adam_group(sched, cfg.weight_decay),
             "fine_tune": _adam_group(fine_sched, cfg.weight_decay / fine_tune_factor),

@@ -1,0 +1,50 @@
+"""Fused seg-head kernel (interpret mode) vs the reference computation path
+(BN→ReLU→1×1 conv → ×4 bilinear → argmax)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from doubly_contrastive_semseg_tpu.ops.interpolate import resize_bilinear  # noqa: E402
+from doubly_contrastive_semseg_tpu.ops.seghead_pallas import (  # noqa: E402
+    fused_seghead_upsample_argmax,
+)
+
+
+def _reference_path(feat, scale, bias, mean, var, kernel, cbias, eps=1e-5):
+    xhat = (feat - mean) / np.sqrt(var + eps) * scale + bias
+    h = np.maximum(xhat, 0.0)
+    logits = np.einsum("bhwc,co->bhwo", h, kernel) + cbias
+    up = resize_bilinear(jnp.asarray(logits), (feat.shape[1] * 4, feat.shape[2] * 4))
+    return np.asarray(jnp.argmax(up, axis=-1))
+
+
+def test_fused_seghead_matches_reference(rng):
+    b, h, w, cin, c = 2, 16, 24, 128, 19
+    feat = rng.standard_normal((b, h, w, cin)).astype(np.float32)
+    scale = rng.uniform(0.5, 1.5, cin).astype(np.float32)
+    bias = rng.standard_normal(cin).astype(np.float32)
+    mean = rng.standard_normal(cin).astype(np.float32)
+    var = rng.uniform(0.5, 2.0, cin).astype(np.float32)
+    kernel = rng.standard_normal((cin, c)).astype(np.float32)
+    cbias = rng.standard_normal(c).astype(np.float32)
+
+    want = _reference_path(feat, scale, bias, mean, var, kernel, cbias)
+    got = np.asarray(fused_seghead_upsample_argmax(
+        jnp.asarray(feat), jnp.asarray(scale), jnp.asarray(bias),
+        jnp.asarray(mean), jnp.asarray(var), jnp.asarray(kernel),
+        jnp.asarray(cbias), interpret=True))
+    assert got.shape == (b, 4 * h, 4 * w)
+    assert (got == want).mean() > 0.999  # fp-order ties may flip
+
+
+def test_fused_seghead_never_picks_padded_class(rng):
+    b, h, w, cin, c = 1, 8, 8, 128, 19
+    feat = rng.standard_normal((b, h, w, cin)).astype(np.float32)
+    out = np.asarray(fused_seghead_upsample_argmax(
+        jnp.asarray(feat), jnp.ones(cin), jnp.zeros(cin), jnp.zeros(cin),
+        jnp.ones(cin), jnp.asarray(rng.standard_normal((cin, c)), jnp.float32),
+        jnp.zeros(c), interpret=True))
+    assert out.max() < c
