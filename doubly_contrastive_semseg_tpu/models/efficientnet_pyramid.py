@@ -111,12 +111,11 @@ class PyramidEfficientNet(nn.Module):
 
     @nn.compact
     def __call__(self, image: jax.Array, *, train: bool = False):
-        from ..ops.input_pipeline import (
-            build_pyramid_planar, s2d_stem_geometry, space_to_depth2_nhwc)
+        from ..ops.input_pipeline import fused_pyramid_s2d, s2d_stem_geometry
 
-        # planar pyramid + s2d stem (same rationale as PyramidResNet)
-        pyramid = build_pyramid_planar(image, self.pyramid_levels,
-                                       self.mean, self.std, self.dtype)
+        # fused pyramid-as-convs + s2d stem (same rationale as PyramidResNet)
+        pyramid = fused_pyramid_s2d(image, self.pyramid_levels,
+                                    self.mean, self.std, self.dtype)
         k_s2d, pad_s2d = s2d_stem_geometry(3)
         stem_conv = nn.Conv(32, (k_s2d, k_s2d), strides=(1, 1),
                             padding=[pad_s2d, pad_s2d], use_bias=False,
@@ -138,8 +137,8 @@ class PyramidEfficientNet(nn.Module):
         num_skips = self.pyramid_levels + 3
         skips: Dict[int, list] = {lvl: [] for lvl in range(num_skips)}
 
-        for idx, p in enumerate(pyramid):
-            x = stem_conv(space_to_depth2_nhwc(p))
+        for idx, p in enumerate(pyramid):  # p is already the s2d stem input
+            x = stem_conv(p)
             x = stem_bns[idx](x, use_running_average=not train)
             x = nn.swish(x)
             for si, blocks in enumerate(stages):

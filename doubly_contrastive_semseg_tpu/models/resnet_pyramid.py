@@ -91,16 +91,16 @@ class PyramidResNet(nn.Module):
 
     @nn.compact
     def __call__(self, image: jax.Array, *, train: bool = False):
-        from ..ops.input_pipeline import (
-            build_pyramid_planar, s2d_stem_geometry, space_to_depth2_nhwc)
+        from ..ops.input_pipeline import fused_pyramid_s2d, s2d_stem_geometry
 
-        # normalization + bicubic pyramid in planar layout, stem as an
-        # s2d(2) 4×4/s1 conv — C=3 NHWC work starves the TPU vector lanes
-        # (see ops/input_pipeline.py); reference semantics are identical
+        # normalization + bicubic pyramid + s2d(2) collapse into one strided
+        # conv per level (composed filters; see ops/input_pipeline.py) and
+        # the stem becomes an s2d 4×4/s1 conv — C=3 NHWC elementwise work
+        # starves the TPU vector lanes. Reference semantics are preserved
         # (normalization: resnet_pyramid.py:296-304, pyramid: :306-314,
-        # stem: :139, weights convertible bit-exactly from the dense form).
-        pyramid = build_pyramid_planar(image, self.pyramid_levels,
-                                       self.mean, self.std, self.dtype)
+        # stem: :139; weights convertible bit-exactly from the dense form).
+        pyramid = fused_pyramid_s2d(image, self.pyramid_levels,
+                                    self.mean, self.std, self.dtype)
 
         block_cls = BasicBlock
         if self.efficient:
@@ -137,8 +137,8 @@ class PyramidResNet(nn.Module):
         skips: Dict[int, list] = {lvl: [] for lvl in range(num_skips)}
         additional: Dict[str, Any] = {"pyramid": pyramid}
 
-        for idx, p in enumerate(pyramid):
-            x = stem_conv(space_to_depth2_nhwc(p))
+        for idx, p in enumerate(pyramid):  # p is already the s2d stem input
+            x = stem_conv(p)
             x = stem_bns[idx](x, use_running_average=not train)
             x = nn.relu(x)
             x = max_pool_3x3_s2(x)
