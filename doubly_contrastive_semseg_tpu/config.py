@@ -48,6 +48,12 @@ MODELS = (
     "deeplabv3plus_resnet101",
     "deeplabv3_mobilenet",
     "deeplabv3plus_mobilenet",
+    "deeplabv3_hrnetv2_32",
+    "deeplabv3_hrnetv2_48",
+    "deeplabv3plus_hrnetv2_32",
+    "deeplabv3plus_hrnetv2_48",
+    "deeplabv3_xception",
+    "deeplabv3plus_xception",
 )
 
 

@@ -10,7 +10,10 @@ from .transforms import (
     CropBlackArea,
 )
 from .acdc import ACDC, CITYSCAPES_ID_TO_TRAIN_ID, TRAIN_ID_TO_COLOR, WEATHER_DICT
+from .acdc_city import ACDC_City
 from .cityscapes import Cityscapes
+from .citylostfound import CityLostFound, LostFound
+from .voc import VOCSegmentation
 from .synthetic import SyntheticDataset
 from .loader import DataLoader, collate
 from .factory import get_dataset

@@ -106,10 +106,15 @@ def get_dataset(cfg, seed: int = 0):
                          ToArrays()])
         if cfg.use_supcon:
             train_t = TwoCropTransform(train_t)
-        train_dst = Cityscapes(root=cfg.data_root, dataset_name="cityscapes",
-                               mode="train", transform=train_t, opts=cfg)
-        val_dst = Cityscapes(root=cfg.data_root, dataset_name="cityscapes",
-                             mode="val", transform=val_t, opts=cfg)
+        from .citylostfound import CityLostFound, LostFound
+
+        # --not_md_fusion selects Lost&Found only (reference
+        # dataloaders/utils.py:99-107)
+        cls = LostFound if cfg.not_md_fusion else CityLostFound
+        train_dst = cls(root=cfg.data_root, dataset_name="city_lost",
+                        mode="train", transform=train_t, opts=cfg)
+        val_dst = cls(root=cfg.data_root, dataset_name="city_lost",
+                      mode="val", transform=val_t, opts=cfg)
         return train_dst, val_dst
 
     if cfg.dataset == "synthetic":

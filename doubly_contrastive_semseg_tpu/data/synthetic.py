@@ -16,6 +16,45 @@ from PIL import Image
 from .acdc import TRAIN_ID_TO_COLOR, WEATHER_DICT
 
 
+class SyntheticStereoDataset:
+    """Random stereo pairs with exact ground-truth disparity: the right view
+    is the left view shifted by a per-image constant disparity (plus noise),
+    giving the stereo stack a learnable, verifiable target."""
+
+    def __init__(self, size: int = 8, image_hw=(64, 96), max_disp: int = 16,
+                 seed: int = 0):
+        self.size = size
+        self.image_hw = image_hw
+        self.max_disp = max_disp
+        self.seed = seed
+
+    def __len__(self):
+        return self.size
+
+    def __getitem__(self, index: int) -> Dict:
+        rng = np.random.default_rng(self.seed * 9176 + index)
+        h, w = self.image_hw
+        left = rng.uniform(0, 255, (h, w, 3)).astype(np.float32)
+        # smooth the texture so bilinear matching is well-posed
+        k = np.ones((1, 5, 1)) / 5.0
+        for _ in range(2):
+            left = np.apply_along_axis(
+                lambda v: np.convolve(v, np.ones(5) / 5, mode="same"), 1, left)
+        d = float(rng.integers(2, self.max_disp - 2))
+        right = np.zeros_like(left)
+        right[:, : w - int(d)] = left[:, int(d):]
+        disp = np.full((h, w), d, np.float32)
+        disp[:, : int(d)] = 0.0  # invalid at the left border
+        return {
+            "left": left,
+            "right": right,
+            "disp": disp,
+            "label": rng.integers(0, 19, (h, w)).astype(np.int64),
+            "left_name": f"stereo/{index}",
+            "frame_name": f"{index}",
+        }
+
+
 class SyntheticDataset:
     ignore_index = 255
     weather_dict = WEATHER_DICT

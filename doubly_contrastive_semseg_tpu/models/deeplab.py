@@ -162,6 +162,16 @@ class DeepLabDCSS(nn.Module):
             bb = DilatedResNet((3, 4, 6, 3), rsd, self.dtype, name="backbone")
         elif self.backbone == "resnet101":
             bb = DilatedResNet((3, 4, 23, 3), rsd, self.dtype, name="backbone")
+        elif self.backbone.startswith("hrnetv2"):
+            from .backbones.hrnetv2 import HRNetV2
+
+            width = int(self.backbone.rsplit("_", 1)[-1])
+            bb = HRNetV2(width=width, dtype=self.dtype, name="backbone")
+        elif self.backbone == "xception":
+            from .backbones.xception import AlignedXception
+
+            bb = AlignedXception(output_stride=self.output_stride,
+                                 dtype=self.dtype, name="backbone")
         else:
             raise NotImplementedError(f"backbone {self.backbone}")
         features = bb(x, train=train)

@@ -103,6 +103,47 @@ def make_eval_step(model, cfg) -> Callable:
     return eval_step
 
 
+def make_stereo_train_step(model, cfg, tx) -> Callable:
+    """Train step for the joint disparity + semantics stack (RODSNet-era
+    configuration): pyramid-weighted smooth-L1 disparity loss
+    (reference ``utils/loss.py:478-516``) + optional boundary-aware focal on
+    the left view, combined like the reference's disparity recipes."""
+    from ..losses.disparity import disparity_loss
+    from ..losses.focal import cross_entropy_loss
+
+    train_semantic = cfg.train_semantic
+
+    def loss_fn(params, batch_stats, batch, rng):
+        outputs, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["left"], batch["right"], train=True,
+            mutable=["batch_stats"], rngs={"dropout": rng},
+        )
+        d_loss = disparity_loss(
+            [outputs["disp_pyramid"][0], outputs["disp"]], batch["disp"])
+        comps = {"disp_loss": d_loss}
+        total = d_loss
+        if train_semantic and "label" in batch:
+            seg_loss = cross_entropy_loss(outputs["seg"], batch["label"])
+            comps["seg_loss"] = seg_loss
+            total = total + seg_loss
+        comps["total_loss"] = total
+        return total, {"batch_stats": mutated["batch_stats"], "comps": comps}
+
+    def train_step(state: TrainState, batch: Dict, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, rng)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(params=new_params,
+                                  batch_stats=aux["batch_stats"],
+                                  opt_state=new_opt_state, step=state.step + 1)
+        return new_state, aux["comps"]
+
+    return train_step
+
+
 def init_eval_accum(cfg) -> Dict[str, jax.Array]:
     c, w = cfg.num_classes, cfg.weather_num
     return {
