@@ -198,7 +198,10 @@ class Config:
     @property
     def crop_wh(self) -> Tuple[int, int]:
         """Train random-crop size; (768, 768) for the semantic datasets
-        (reference dataloaders/utils.py:110-112)."""
+        (reference dataloaders/utils.py:110-112); small for the synthetic
+        CI dataset."""
+        if self.dataset == "synthetic":
+            return (96, 96)
         return (768, 768)
 
     @property

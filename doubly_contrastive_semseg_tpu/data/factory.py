@@ -40,6 +40,13 @@ def build_transforms(cfg, crop_wh: Tuple[int, int], seed: int = 0):
     target_size_crops = crop_wh
     target_size_feats = (crop_wh[0] // 4, crop_wh[1] // 4)
 
+    if not cfg.host_augment:
+        # on-device augmentation (--no_host_augment): the host only decodes;
+        # crops/EDT/gamma/two-crop run inside the jitted step
+        # (data/device_augment.py)
+        return Compose([ToArrays()]), Compose(
+            [FixedResize((cfg.val_img_width, cfg.val_img_height)), ToArrays()])
+
     train_tech = [
         RandomSquareCropAndScale(crop_wh, mean=MEAN_RGB, ignore_id=255, rng=train_rng),
         SetTargetSize(target_size=target_size_crops, target_size_feats=target_size_feats),
@@ -119,17 +126,22 @@ def get_dataset(cfg, seed: int = 0):
 
     if cfg.dataset == "synthetic":
         hw = (128, 160)  # (h, w) of the generated frames
-        crop = (96, 96)
+        crop = cfg.crop_wh
         train_rng = np.random.default_rng(seed)
-        train_t = Compose([
-            RandomSquareCropAndScale(crop, mean=MEAN_RGB, ignore_id=255, rng=train_rng),
-            SetTargetSize(target_size=crop, target_size_feats=(crop[0] // 4, crop[1] // 4)),
-            LabelBoundaryTransform(num_classes=cfg.num_classes, reduce=True),
-            ToArrays(),
-        ])
+        if cfg.host_augment:
+            train_t = Compose([
+                RandomSquareCropAndScale(crop, mean=MEAN_RGB, ignore_id=255,
+                                         rng=train_rng),
+                SetTargetSize(target_size=crop,
+                              target_size_feats=(crop[0] // 4, crop[1] // 4)),
+                LabelBoundaryTransform(num_classes=cfg.num_classes, reduce=True),
+                ToArrays(),
+            ])
+            if cfg.use_supcon:
+                train_t = TwoCropTransform(train_t)
+        else:
+            train_t = Compose([ToArrays()])
         val_t = Compose([FixedResize((hw[1], hw[0])), ToArrays()])
-        if cfg.use_supcon:
-            train_t = TwoCropTransform(train_t)
         size = 8 if cfg.debug else 64
         train_dst = SyntheticDataset(size=size, image_hw=hw,
                                      num_classes=cfg.num_classes,

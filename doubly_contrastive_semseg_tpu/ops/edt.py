@@ -90,13 +90,16 @@ def label_boundary_weights(labels: jax.Array, num_classes: int,
                            ignore_id: int = 255) -> jax.Array:
     """Device-side ``LabelBoundaryTransform`` (reference
     ``custom_transforms_acdc.py:656-693``): per-class EDT summed, exp(−d/2σ),
-    zero at ignore. labels (..., H, W) int → weights (..., H, W) float32."""
-    summed = jnp.zeros(labels.shape, jnp.float32)
-    for ci in range(num_classes):
-        mask = labels == ci
-        present = jnp.any(mask, axis=(-2, -1), keepdims=True)
-        d = distance_transform(mask)
-        summed = summed + jnp.where(present, d, 0.0)
+    zero at ignore. labels (..., H, W) int → weights (..., H, W) float32.
+
+    Classes ride a vmapped leading axis (one batched jump-flood over all
+    class masks) — a per-class python loop would unroll ~19× the JFA graph
+    and blow up compile time."""
+    cls = jnp.arange(num_classes)
+    masks = labels[None] == cls.reshape((num_classes,) + (1,) * labels.ndim)
+    present = jnp.any(masks, axis=(-2, -1), keepdims=True)
+    dists = jax.vmap(distance_transform)(masks)           # (C, ..., H, W)
+    summed = jnp.sum(jnp.where(present, dists, 0.0), axis=0)
     reduce_axes = tuple(range(labels.ndim - 2, labels.ndim))
     std = jnp.std(summed, axis=reduce_axes, keepdims=True)
     std = jnp.where(std == 0, 1.0, std)  # all-ignore guard (reference :681-684)

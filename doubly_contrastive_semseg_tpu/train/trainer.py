@@ -126,6 +126,15 @@ class Trainer:
         # --- jitted steps
         self._train_step = jax.jit(
             make_train_step(self.model, cfg, self.tx), donate_argnums=(0,))
+        self._augment = None
+        if not cfg.host_augment:
+            import functools
+
+            from ..data.device_augment import augment_batch
+
+            self._augment = functools.partial(
+                augment_batch, crop=cfg.crop_wh[0], num_classes=cfg.num_classes,
+                two_crop=cfg.use_supcon, use_gamma=cfg.use_gamma_correction)
         self._eval_step = jax.jit(
             make_eval_step(self.model, cfg), donate_argnums=(3,))
         self._rng = jax.random.PRNGKey(cfg.random_seed + 1)
@@ -172,6 +181,10 @@ class Trainer:
             step_start = time.time()
 
             db = self._device_batch(batch)
+            if self._augment is not None:
+                aug = self._augment(db["left"], db["label"], db["weather"],
+                                    jax.random.fold_in(self._rng, self.num_iter))
+                db.update(aug)
             self.state, metrics = self._train_step(self.state, db, self._rng)
             # accumulate on device; host sync only at print/summary boundaries
             # (the reference keeps live tensors alive the same way but syncs
