@@ -8,6 +8,8 @@ from .transforms import (
     ToArrays,
     TwoCropTransform,
     CropBlackArea,
+    ColorJitter,
+    RandomHorizontalFlip,
 )
 from .acdc import ACDC, CITYSCAPES_ID_TO_TRAIN_ID, TRAIN_ID_TO_COLOR, WEATHER_DICT
 from .acdc_city import ACDC_City

@@ -199,6 +199,60 @@ class CropBlackArea:
         return sample
 
 
+class ColorJitter:
+    """Photometric jitter (brightness/contrast/saturation/hue) applied to the
+    image only — the torchvision-fork machinery the reference vendors in
+    ``custom_transforms_acdc.py:59-443`` / ``custom_transforms.py``. Factors
+    are sampled U(max(0, 1−v), 1+v) per call like torchvision."""
+
+    def __init__(self, brightness: float = 0.0, contrast: float = 0.0,
+                 saturation: float = 0.0, hue: float = 0.0,
+                 rng: Optional[np.random.Generator] = None):
+        self.brightness = brightness
+        self.contrast = contrast
+        self.saturation = saturation
+        self.hue = hue
+        self.rng = rng or np.random.default_rng()
+
+    def _factor(self, v: float) -> float:
+        return float(self.rng.uniform(max(0.0, 1.0 - v), 1.0 + v)) if v else 1.0
+
+    def __call__(self, sample: Dict) -> Dict:
+        img = np.asarray(sample["left"], np.float32)
+        b = self._factor(self.brightness)
+        c = self._factor(self.contrast)
+        s = self._factor(self.saturation)
+        img = img * b
+        mean = img.mean()
+        img = (img - mean) * c + mean
+        gray = img @ np.array([0.299, 0.587, 0.114], np.float32)
+        img = (img - gray[..., None]) * s + gray[..., None]
+        if self.hue:
+            h_shift = float(self.rng.uniform(-self.hue, self.hue)) * 180.0
+            if cv2 is not None:
+                hsv = cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8),
+                                   cv2.COLOR_RGB2HSV).astype(np.float32)
+                hsv[..., 0] = (hsv[..., 0] + h_shift) % 180.0
+                img = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB).astype(np.float32)
+        sample["left"] = Image.fromarray(np.clip(img, 0, 255).astype(np.uint8))
+        return sample
+
+
+class RandomHorizontalFlip:
+    """Flip image+label together (torchvision-fork transform family)."""
+
+    def __init__(self, p: float = 0.5, rng: Optional[np.random.Generator] = None):
+        self.p = p
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, sample: Dict) -> Dict:
+        if self.rng.random() < self.p:
+            sample["left"] = sample["left"].transpose(Image.FLIP_LEFT_RIGHT)
+            if sample.get("label") is not None:
+                sample["label"] = sample["label"].transpose(Image.FLIP_LEFT_RIGHT)
+        return sample
+
+
 class ToArrays:
     """PIL → numpy: HWC float32 image (0-255 scale — normalization lives in
     the model, reference ``resnet_pyramid.py:296-304``), int64 label, int32

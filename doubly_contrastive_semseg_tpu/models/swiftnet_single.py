@@ -65,6 +65,34 @@ class SingleScaleSwiftNet(nn.Module):
         return y, additional
 
 
+class HourglassSwiftNet(nn.Module):
+    """Stacked-hourglass SwiftNet (reference ``ResNet_hourglass``,
+    ``resnet_18.py``): the single-scale decoder output feeds a second
+    down-up hourglass whose output refines the first additively."""
+
+    num_features: int = 128
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image: jax.Array, *, train: bool = False):
+        base, additional = SingleScaleSwiftNet(
+            self.num_features, dtype=self.dtype, name="stage1")(image, train=train)
+        # second hourglass over the 128-ch features: 2 stride-2 blocks down,
+        # SPP bottleneck, 2 skip-upsamples back
+        x = base
+        skips = []
+        for i in range(2):
+            skips.append(x)
+            x = BasicBlock(planes=self.num_features, stride=2, dtype=self.dtype,
+                           name=f"hg_down{i}")(x, train)
+        x = SpatialPyramidPooling(out_size=self.num_features, dtype=self.dtype,
+                                  name="hg_spp")(x, train=train)
+        for i, skip in enumerate(reversed(skips)):
+            x = Upsample(self.num_features, self.num_features, dtype=self.dtype,
+                         name=f"hg_up{i}")(x, skip, train=train)
+        return base + x, additional
+
+
 class RGBDSwiftNet(nn.Module):
     """Two-branch RGB + depth SwiftNet with attention-gated fusion per stage
     (reference ``ResNet`` in ``resnet_18.py:206-500``): the depth branch's
