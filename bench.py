@@ -96,7 +96,9 @@ def main() -> None:
         iters, warmup = 5, 2
     else:
         h, w = 1024, 2048
-        candidates = [args.batch_size] if args.batch_size else [8, 16]
+        # batch 16 measured identical fps to 8 (device-time bound) — one size
+        # keeps the driver's bench run short
+        candidates = [args.batch_size] if args.batch_size else [8]
         iters, warmup = args.iters, args.warmup
 
     best = 0.0

@@ -36,6 +36,52 @@ IMAGENET_MEAN = (73.15, 82.90, 72.3)
 IMAGENET_STD = (47.67, 48.49, 47.73)
 
 
+class _StemKernel(nn.Module):
+    """Holds the s2d stem conv kernel at the checkpoint path
+    ``feature_extractor/conv1/kernel`` (instantiated with name='conv1')."""
+
+    shape: Tuple[int, int, int, int] = (4, 4, 12, 64)
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        return self.param(
+            "kernel",
+            nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
+            self.shape, jnp.float32)
+
+
+class _StemBN(nn.Module):
+    """BatchNorm whose raw scale/bias/mean/var are readable for the fused
+    Pallas stem; variable names/paths match ``flax.linen.BatchNorm`` so
+    checkpoints and the torch converter are unaffected."""
+
+    momentum: float = 0.9  # flax convention (torch m=0.1)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x=None, *, train: bool = False):
+        features = 64
+        scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((features,), jnp.float32))
+        if x is None:  # raw access for the fused kernel
+            return scale, bias, ra_mean.value, ra_var.value
+        if train:
+            mean = jnp.mean(x.astype(jnp.float32), axis=(0, 1, 2))
+            var = jnp.var(x.astype(jnp.float32), axis=(0, 1, 2))
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (x - mean.astype(x.dtype)) * jax.lax.rsqrt(
+            var.astype(jnp.float32) + 1e-5).astype(x.dtype)
+        return y * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
 class BasicBlock(nn.Module):
     """Pre-norm ResNet basic block (reference ``resnet_pyramid.py:55-89``):
     conv3x3(s)→BN→ReLU→conv3x3→BN, projection shortcut on stride/width change,
@@ -111,11 +157,14 @@ class PyramidResNet(nn.Module):
         # shared trunk modules (weight sharing across pyramid levels comes from
         # calling the same module instances on every level)
         k_s2d, pad_s2d = s2d_stem_geometry(7)
-        stem_conv = nn.Conv(64, (k_s2d, k_s2d), strides=(1, 1),
-                            padding=[pad_s2d, pad_s2d],
-                            use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
-                            name="conv1")
-        stem_bns = [batch_norm(self.dtype, name=f"bn1_{i}") for i in range(self.pyramid_levels)]
+        stem_kernel = _StemKernel((k_s2d, k_s2d, 12, 64), name="conv1")()
+        stem_bns = [_StemBN(dtype=self.dtype, name=f"bn1_{i}")
+                    for i in range(self.pyramid_levels)]
+        # NOTE: a fused Pallas stem kernel exists (ops/stem_pallas.py) but
+        # measured slower than XLA's conv at these shapes (per-program
+        # overhead × 512 tiles + the kb-copy read amplification) — the XLA
+        # path below is the production one.
+        use_pallas_stem = False
 
         stage_planes = (64, 128, 256, 512)
         stages = []
@@ -137,10 +186,27 @@ class PyramidResNet(nn.Module):
         skips: Dict[int, list] = {lvl: [] for lvl in range(num_skips)}
         additional: Dict[str, Any] = {"pyramid": pyramid}
 
+        s2d_planar = None
+        if use_pallas_stem:
+            from ..ops.input_pipeline import s2d_planar_from_image
+
+            # level 0 dominates stem cost; its fused kernel wants planar s2d
+            s2d_planar = s2d_planar_from_image(image, self.mean, self.std,
+                                               self.dtype)
+
         for idx, p in enumerate(pyramid):  # p is already the s2d stem input
-            x = stem_conv(p)
-            x = stem_bns[idx](x, use_running_average=not train)
-            x = nn.relu(x)
+            if use_pallas_stem and idx == 0:
+                from ..ops.stem_pallas import fused_stem
+
+                s, bb, m, v = stem_bns[idx](None)
+                x = fused_stem(s2d_planar, stem_kernel, s, bb, m, v,
+                               out_dtype=self.dtype)
+            else:
+                x = jax.lax.conv_general_dilated(
+                    p, stem_kernel.astype(p.dtype), (1, 1), [pad_s2d, pad_s2d],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                x = stem_bns[idx](x, train=train)
+                x = nn.relu(x)
             x = max_pool_3x3_s2(x)
             for j, blocks in enumerate(stages):
                 for blk in blocks:
