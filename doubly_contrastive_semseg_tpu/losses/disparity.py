@@ -5,7 +5,7 @@ EDT boundary weighting), plus the edge-aware smoothness regularizer
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

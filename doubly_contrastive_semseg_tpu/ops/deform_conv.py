@@ -16,7 +16,7 @@ offset[..., g, k, (y, x)] / mask[..., g, k].
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

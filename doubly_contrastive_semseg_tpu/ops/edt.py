@@ -18,7 +18,6 @@ differ by <2% on long diagonals — tests bound the deviation).
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

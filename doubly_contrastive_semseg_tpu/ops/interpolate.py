@@ -19,7 +19,6 @@ All functions take NHWC (or NHW) arrays.
 
 from __future__ import annotations
 
-import functools
 from typing import Sequence, Tuple
 
 import jax

@@ -19,7 +19,6 @@ the 4 bilinear phases per axis, and argmaxes over the C planes.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

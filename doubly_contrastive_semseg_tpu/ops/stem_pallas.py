@@ -16,7 +16,6 @@ slices, offset-layout reshapes, 16-bit rotates); the model uses the XLA conv.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

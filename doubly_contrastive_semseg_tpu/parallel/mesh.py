@@ -18,7 +18,7 @@ The mesh is deliberately N-D-ready: ``make_mesh`` takes an axis spec so a
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import numpy as np

@@ -11,9 +11,8 @@ from __future__ import annotations
 
 import logging
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

@@ -6,7 +6,7 @@ functional pytree that flows through the jitted step and checkpointing."""
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -10,8 +10,7 @@ the *global* batch (the ``sync_batchnorm/`` replacement) automatically.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
