@@ -20,7 +20,7 @@ from typing import Dict, Iterator, List, Optional
 
 import numpy as np
 
-ARRAY_KEYS = ("left", "label", "weather", "label_distance_weight", "disp")
+ARRAY_KEYS = ("left", "right", "label", "weather", "label_distance_weight", "disp")
 META_KEYS = ("left_name", "frame_name", "target_size", "target_size_feats")
 
 

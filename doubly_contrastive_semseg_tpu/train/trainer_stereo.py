@@ -1,0 +1,132 @@
+"""Stereo (disparity + optional semantics) trainer — the RODSNet-era
+configuration (reference trains it through the same ``Trainer`` with stereo
+datasets and disparity criteria; here it is a dedicated loop over
+``make_stereo_train_step`` with EPE/D1 validation per
+``metrics/disparity_metric.py``)."""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.loader import DataLoader
+from ..data.synthetic import SyntheticStereoDataset
+from ..metrics.disparity import d1_metric, epe_metric, thres_metric
+from ..models.stereo import StereoDCSS
+from ..parallel import make_mesh, replicate_sharding, shard_batch
+from ..utils import Saver, SummaryWriter, count_parameters, setup_logger
+from .checkpoints import CheckpointManager
+from .optimizer import build_lr_schedule
+from .state import TrainState
+from .steps import make_stereo_train_step
+
+
+def _stereo_dataset(cfg, mode: str):
+    if cfg.dataset == "synthetic":
+        size = 8 if cfg.debug else 32
+        return SyntheticStereoDataset(size=size if mode == "train" else 4,
+                                      image_hw=(64, 96), max_disp=16,
+                                      seed=0 if mode == "train" else 1)
+    # sceneflow / kitti lists flow through the Cityscapes loader
+    from ..data.cityscapes import Cityscapes
+    from ..data.transforms import Compose, ToArrays
+
+    return Cityscapes(root=cfg.data_root, dataset_name=cfg.dataset, mode=mode,
+                      transform=Compose([ToArrays()]), opts=cfg)
+
+
+class StereoTrainer:
+    def __init__(self, cfg):
+        import optax
+
+        self.cfg = cfg
+        self.saver = Saver(cfg)
+        self.saver.save_experiment_config()
+        setup_logger(self.saver.experiment_dir, f"stereo_{cfg.dataset}")
+
+        self.train_dst = _stereo_dataset(cfg, "train")
+        self.val_dst = _stereo_dataset(cfg, "val")
+        self.train_loader = DataLoader(self.train_dst, cfg.batch_size,
+                                       shuffle=True, num_workers=cfg.num_workers,
+                                       drop_last=True, seed=cfg.random_seed)
+        self.val_loader = DataLoader(self.val_dst, cfg.val_batch_size,
+                                     num_workers=cfg.num_workers)
+
+        max_disp = 32 if cfg.dataset == "synthetic" else 192
+        self.model = StereoDCSS(
+            max_disp=max_disp, num_classes=cfg.num_classes,
+            train_semantic=cfg.train_semantic,
+            dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32)
+        self.mesh = make_mesh(cfg.num_devices)
+
+        batch = self._device_batch(next(iter(self.train_loader)))
+        variables = self.model.init(
+            {"params": jax.random.PRNGKey(cfg.random_seed),
+             "dropout": jax.random.PRNGKey(cfg.random_seed + 1)},
+            batch["left"], batch["right"], train=True)
+        sched = build_lr_schedule(cfg, max(1, len(self.train_loader)))
+        self.tx = optax.adam(sched, b1=0.9, b2=0.99)
+        self.state = TrainState(params=variables["params"],
+                                batch_stats=variables.get("batch_stats", {}),
+                                opt_state=self.tx.init(variables["params"]),
+                                step=jnp.zeros((), jnp.int32))
+        self.state = jax.device_put(self.state, replicate_sharding(self.mesh))
+        logging.info("stereo model: %.2fM params",
+                     count_parameters(self.state.params) / 1e6)
+
+        self.ckpt = CheckpointManager(self.saver.checkpoint_dir)
+        self.cur_epochs = 0
+        self.num_iter = 0
+        self.best_epe = float("inf")
+        self._train_step = jax.jit(make_stereo_train_step(self.model, cfg, self.tx),
+                                   donate_argnums=(0,))
+        self._eval_fwd = jax.jit(
+            lambda v, l, r: self.model.apply(v, l, r, train=False)["disp"])
+        self._rng = jax.random.PRNGKey(cfg.random_seed + 2)
+        self.writer = SummaryWriter(self.saver.experiment_dir,
+                                    enable_tb=not cfg.no_build_summary)
+
+    def _device_batch(self, batch: Dict) -> Dict:
+        return shard_batch(batch, self.mesh)
+
+    def train(self) -> None:
+        self.train_loader.set_epoch(self.cur_epochs)
+        for i, batch in enumerate(self.train_loader):
+            self.num_iter += 1
+            self.state, metrics = self._train_step(
+                self.state, self._device_batch(batch), self._rng)
+            if self.num_iter % self.cfg.print_freq == 0:
+                logging.info("Epoch [%d][%d] disp_loss %.4f total %.4f",
+                             self.cur_epochs, i,
+                             float(metrics["disp_loss"]),
+                             float(metrics["total_loss"]))
+                self.writer.add_scalar("train/disp_loss",
+                                       float(metrics["disp_loss"]), self.num_iter)
+
+    def validate(self) -> Dict[str, float]:
+        epes, d1s, t1s = [], [], []
+        variables = {"params": self.state.params,
+                     "batch_stats": self.state.batch_stats}
+        for batch in self.val_loader:
+            db = self._device_batch(batch)
+            disp = self._eval_fwd(variables, db["left"], db["right"])
+            gt = db["disp"]
+            epes.append(float(epe_metric(disp, gt)))
+            d1s.append(float(d1_metric(disp, gt)))
+            t1s.append(float(thres_metric(disp, gt, 1.0)))
+        res = {"epe": float(np.mean(epes)), "d1": float(np.mean(d1s)),
+               "thres1": float(np.mean(t1s))}
+        logging.info("val: EPE %.4f  D1 %.4f  >1px %.4f",
+                     res["epe"], res["d1"], res["thres1"])
+        self.writer.add_scalar("val/epe", res["epe"], self.cur_epochs)
+        self.writer.add_scalar("val/d1", res["d1"], self.cur_epochs)
+        self.ckpt.save("latest_checkpoint", self.state, self.cur_epochs)
+        if res["epe"] < self.best_epe:
+            self.best_epe = res["epe"]
+            self.ckpt.save("score_best_checkpoint", self.state, self.cur_epochs)
+        return res

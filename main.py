@@ -26,6 +26,20 @@ def main() -> None:
     if cfg.test_only and cfg.resume is None:
         raise RuntimeError("--test_only requires --resume <checkpoint>")
 
+    # stereo datasets route to the disparity trainer (the RODSNet-era path;
+    # reference reaches it via the same CLI with stereo datasets)
+    if cfg.dataset in ("sceneflow", "kitti_2015", "kitti_mix") or (
+            cfg.dataset == "synthetic" and not cfg.train_semantic
+            and cfg.criterion == "none" and cfg.transfer_disparity):
+        from doubly_contrastive_semseg_tpu.train.trainer_stereo import StereoTrainer
+
+        trainer = StereoTrainer(cfg)
+        for epoch in range(cfg.epochs):
+            trainer.cur_epochs = epoch
+            trainer.train()
+            trainer.validate()
+        return
+
     from doubly_contrastive_semseg_tpu.train import Trainer
 
     trainer = Trainer(cfg)
