@@ -149,6 +149,29 @@ class Trainer:
         self.time_val: list = []
         self.time_val_dataloader: list = []
 
+        # failure handling: the reference dies on any signal and recovery is
+        # manual --resume (SURVEY §5); here SIGTERM/SIGINT trigger a rescue
+        # checkpoint so preempted runs resume losslessly
+        self._install_signal_rescue()
+
+    def _install_signal_rescue(self) -> None:
+        import signal
+
+        def rescue(signum, frame):
+            logging.warning("signal %s: writing rescue checkpoint...", signum)
+            try:
+                self.ckpt.save("rescue_checkpoint", self.state, self.cur_epochs,
+                               None, self.best_score, self.best_score_epoch)
+                logging.warning("rescue checkpoint saved; exiting")
+            finally:
+                raise SystemExit(128 + signum)
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                signal.signal(sig, rescue)
+            except ValueError:  # non-main thread (e.g. tests)
+                return
+
     # ------------------------------------------------------------------ data
     def _sample_batch(self) -> Dict:
         """One real batch for model init (shapes only)."""
