@@ -145,19 +145,118 @@ class BNReluConv(nn.Module):
         return x
 
 
+class RawBatchNorm(nn.Module):
+    """BatchNorm whose scale/bias/mean/var are readable for fused Pallas
+    paths; variable names/paths match ``flax.linen.BatchNorm`` so checkpoints
+    and the torch converter are unaffected."""
+
+    features: int
+    momentum: float = 1.0 - TORCH_BN_MOMENTUM
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x=None, *, train: bool = False):
+        scale = self.param("scale", nn.initializers.ones, (self.features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.features,), jnp.float32))
+        if x is None:  # raw access
+            return scale, bias, ra_mean.value, ra_var.value
+        if train:
+            mean = jnp.mean(x.astype(jnp.float32), axis=(0, 1, 2))
+            var = jnp.var(x.astype(jnp.float32), axis=(0, 1, 2))
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (x - mean.astype(x.dtype)) * jax.lax.rsqrt(
+            var.astype(jnp.float32) + 1e-5).astype(x.dtype)
+        return y * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
+class PreActConv(nn.Module):
+    """BN→ReLU→conv with raw-readable parameters (param paths identical to
+    ``BNReluConv``: ``norm/{scale,bias,mean,var}``, ``conv/kernel``)."""
+
+    features: int
+    k: int = 3
+    dtype: Dtype = jnp.float32
+
+    def _parts(self):
+        norm = RawBatchNorm(self.features, dtype=self.dtype, name="norm")
+        kernel_holder = _ConvKernel((self.k, self.k, self.features, self.features),
+                                    name="conv")
+        return norm, kernel_holder
+
+    @nn.compact
+    def __call__(self, x=None, *, train: bool = False):
+        norm, kh = self._parts()
+        kernel = kh()
+        if x is None:
+            s, b, m, v = norm(None)
+            return kernel, s, b, m, v
+        y = nn.relu(norm(x, train=train))
+        p = self.k // 2
+        return jax.lax.conv_general_dilated(
+            y, kernel.astype(y.dtype), (1, 1), [(p, p), (p, p)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+class _ConvKernel(nn.Module):
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel",
+            nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
+            self.shape, jnp.float32)
+
+
 class UpsampleBlend(nn.Module):
     """Bilinear-upsample to the skip's resolution, add skip, 3×3 BNReluConv
-    (reference ``_UpsampleBlend``, ``network/utils.py:79-102``)."""
+    (reference ``_UpsampleBlend``, ``network/utils.py:79-102``).
+
+    A fused Pallas kernel for the whole step exists (``ops/blend_pallas.py``,
+    2× faster than the *standalone* XLA blend) but measured slightly slower
+    in-context — XLA already fuses the upsample/add/BN/ReLU into the conv —
+    so ``fuse_inference`` defaults to False."""
 
     features: int
     use_bn: bool = True
     use_skip: bool = True
     k: int = 3
+    fuse_inference: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, skip: jax.Array, *, train: bool) -> jax.Array:
-        x = resize_bilinear(x, (skip.shape[-3], skip.shape[-2]))
+        hh, ww, c = skip.shape[-3], skip.shape[-2], skip.shape[-1]
+        fusable = (self.fuse_inference and self.use_bn and self.use_skip
+                   and self.k == 3
+                   and x.shape[-3] * 2 == hh and x.shape[-2] * 2 == ww)
+        if fusable and not train and not self.is_initializing() \
+                and jax.default_backend() != "cpu" and hh >= 64:
+            from ..ops.blend_pallas import blend_kernel_supported, fused_upsample_blend
+
+            if blend_kernel_supported(hh, ww, c):
+                pre = PreActConv(self.features, k=3, dtype=self.dtype,
+                                 name="blend_conv")
+                kernel, s, b, m, v = pre(None)
+                return fused_upsample_blend(x, skip, kernel, s, b, m, v,
+                                            out_dtype=self.dtype)
+        if self.use_bn and self.k == 3:
+            x = resize_bilinear(x, (hh, ww))
+            if self.use_skip:
+                x = x + skip
+            return PreActConv(self.features, k=3, dtype=self.dtype,
+                              name="blend_conv")(x, train=train)
+        x = resize_bilinear(x, (hh, ww))
         if self.use_skip:
             x = x + skip
         x = BNReluConv(self.features, k=self.k, batch_norm=self.use_bn,

@@ -240,11 +240,9 @@ class Trainer:
                                self.cur_epochs)
 
     def _current_lr(self) -> float:
-        from .optimizer import cosine_annealing_schedule
+        from .optimizer import build_lr_schedule
 
-        sched = cosine_annealing_schedule(
-            self.cfg.lr, self.cfg.last_lr, self.cfg.epochs,
-            max(1, len(self.train_loader)))
+        sched = build_lr_schedule(self.cfg, max(1, len(self.train_loader)))
         return float(sched(int(self.state.step)))
 
     def _write_loss_summaries(self, metrics: Dict) -> None:

@@ -36,6 +36,33 @@ def test_mesh_and_shard_batch():
     assert shard_shapes == {(1, 16, 16, 3)}
 
 
+def test_spatial_sharding_inference_parity():
+    """SURVEY §2.6 'TP' row: full-res activations can be sharded over the
+    width dimension on a ('data','model') mesh — GSPMD inserts the conv halo
+    exchanges; outputs must match the unsharded forward."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from doubly_contrastive_semseg_tpu.models import DCSSModel
+
+    model = DCSSModel(backbone="resnet18", num_classes=19, weather_num=4,
+                      dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 255, (1, 128, 256, 3)).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    def fwd(v, img):
+        return model.apply(v, img, train=False)["seg"]
+
+    want = np.asarray(jax.jit(fwd)(v, x))
+
+    mesh = make_mesh(4, axes=("data", "model"), shape=(1, 4))
+    xs = jax.device_put(x, NamedSharding(mesh, P(None, None, "model", None)))
+    vs = jax.device_put(v, NamedSharding(mesh, P()))
+    got = np.asarray(jax.jit(fwd)(vs, xs))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
 def test_train_step_parity_single_vs_8dev():
     """Same init + same global batch → bitwise-close loss whether the batch
     lives on 1 device or is sharded over 8. Proves the mesh path computes
