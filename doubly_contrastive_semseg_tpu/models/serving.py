@@ -22,6 +22,8 @@ from ..ops.seghead_pallas import fused_seghead_upsample_argmax
 def make_serving_fn(model, use_pallas_head: bool = True) -> Callable:
     """Returns fn(variables, image) -> (B, H, W) int32 label map."""
     is_weathernet = hasattr(model, "backbone")  # DCSSModel
+    if jax.default_backend() == "cpu":
+        use_pallas_head = False  # Mosaic kernels don't lower on CPU
 
     def serve(variables, image):
         if is_weathernet and use_pallas_head:
