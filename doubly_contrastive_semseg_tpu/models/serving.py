@@ -26,8 +26,11 @@ def make_serving_fn(model, use_pallas_head: bool = True) -> Callable:
         use_pallas_head = False  # Mosaic kernels don't lower on CPU
 
     def serve(variables, image):
-        if is_weathernet and use_pallas_head:
-            out = model.apply(variables, image, train=False)
+        out = model.apply(variables, image, train=False)
+        feat_h = out["fine_feat"].shape[1]
+        if is_weathernet and use_pallas_head and feat_h % 8 == 0:
+            # the fused head tiles 8 feature rows per program; non-multiple
+            # heights (e.g. 1080-high ACDC frames → 270 rows) fall through
             seg_p = variables["params"]["net"]["segmentation"]
             seg_s = variables["batch_stats"]["net"]["segmentation"]
             return fused_seghead_upsample_argmax(
@@ -36,7 +39,6 @@ def make_serving_fn(model, use_pallas_head: bool = True) -> Callable:
                 seg_s["norm"]["mean"], seg_s["norm"]["var"],
                 seg_p["conv"]["kernel"], seg_p["conv"]["bias"],
             )
-        out = model.apply(variables, image, train=False)
         if out["seg_beforeup"].shape[1] * 4 == out["seg"].shape[1]:
             return upsample4x_argmax(out["seg_beforeup"])
         return jnp.argmax(out["seg"], axis=-1).astype(jnp.int32)
