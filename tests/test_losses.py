@@ -170,6 +170,38 @@ def test_hard_anchor_prefers_one_hard_one_easy():
     assert pair == [1.0, 2.0]  # one hard + one easy (loss.py:314-316)
 
 
+def test_hard_anchor_sampling_distribution(rng):
+    """Statistical check of the selection rules (reference loss.py:314-331):
+    with both kinds present the pick is always 1 hard + 1 easy, and the hard
+    pick is ~uniform over the hard set (randperm-without-replacement
+    semantics)."""
+    b, p, d, c = 1, 32, 4, 2
+    labels = np.zeros((b, p), np.int64)          # all pixels class 0
+    preds = np.zeros((b, p), np.int64)
+    hard_set = [0, 5, 9, 17]
+    preds[0, hard_set] = 1                       # 4 hard pixels
+    feats = np.zeros((b, p, d), np.float32)
+    feats[0, :, 0] = np.arange(p)                # identify pixels by feature
+    feats_j = jnp.asarray(feats)
+
+    counts = np.zeros(p)
+    trials = 300
+    for t in range(trials):
+        af, _, valid = _hard_anchor_sampling(
+            feats_j, jnp.asarray(labels), jnp.asarray(preds), c,
+            jax.random.PRNGKey(t))
+        af = np.asarray(af)
+        assert valid[0]
+        pix = af[0, :, 0].astype(int)            # the two sampled pixel ids
+        kinds = [int(px in hard_set) for px in pix]
+        assert sorted(kinds) == [0, 1]           # exactly 1 hard + 1 easy
+        hard_px = pix[kinds.index(1)]
+        counts[hard_px] += 1
+    freq = counts[hard_set] / trials
+    # each of the 4 hard pixels should be picked ~25% of the time
+    np.testing.assert_allclose(freq, 0.25, atol=0.08)
+
+
 def test_masked_contrastive_equals_compacted(rng):
     """The validity-masked contrast must equal running the same math on the
     physically compacted (valid-only) anchor set — proving padding anchors
