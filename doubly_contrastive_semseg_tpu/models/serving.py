@@ -20,17 +20,18 @@ from ..ops.seghead_pallas import fused_seghead_upsample_argmax
 
 
 def make_serving_fn(model, use_pallas_head: bool = True) -> Callable:
-    """Returns fn(variables, image) -> (B, H, W) int32 label map."""
+    """Returns fn(variables, image) -> (B, H, W) int8 label map (19 classes
+    fit; int8 quarters the full-res output traffic vs int32)."""
     is_weathernet = hasattr(model, "backbone")  # DCSSModel
     if jax.default_backend() == "cpu":
         use_pallas_head = False  # Mosaic kernels don't lower on CPU
 
     def serve(variables, image):
         out = model.apply(variables, image, train=False)
-        feat_h = out["fine_feat"].shape[1]
-        if is_weathernet and use_pallas_head and feat_h % 8 == 0:
-            # the fused head tiles 8 feature rows per program; non-multiple
-            # heights (e.g. 1080-high ACDC frames → 270 rows) fall through
+        if is_weathernet and use_pallas_head:
+            # the fused head pads any feature height up to whole tiles, so
+            # both the 2048×1024 headline and 1920×1080 ACDC-native (270
+            # feature rows) shapes take this path
             seg_p = variables["params"]["net"]["segmentation"]
             seg_s = variables["batch_stats"]["net"]["segmentation"]
             return fused_seghead_upsample_argmax(
@@ -40,7 +41,7 @@ def make_serving_fn(model, use_pallas_head: bool = True) -> Callable:
                 seg_p["conv"]["kernel"], seg_p["conv"]["bias"],
             )
         if out["seg_beforeup"].shape[1] * 4 == out["seg"].shape[1]:
-            return upsample4x_argmax(out["seg_beforeup"])
-        return jnp.argmax(out["seg"], axis=-1).astype(jnp.int32)
+            return upsample4x_argmax(out["seg_beforeup"]).astype(jnp.int8)
+        return jnp.argmax(out["seg"], axis=-1).astype(jnp.int8)
 
     return serve

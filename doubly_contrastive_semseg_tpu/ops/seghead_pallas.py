@@ -6,14 +6,25 @@ i.e. the SwiftNet seg head (``network/weathernet.py:61-62``: BN→ReLU→1×1) +
 the final bilinear upsample to input resolution (``weathernet.py:85``) +
 the prediction argmax (``trainer.py:349``), without ever materializing the
 full-resolution logits: at 2048×1024×19 those are ~640 MB of HBM traffic per
-batch-8 inference that XLA writes and re-reads. The kernel reads the 128-ch
-features once (MXU matmul per tile) and writes only the int32 label map.
+batch-8 inference that XLA writes and re-reads.
 
-Grid: (batch, row-tiles). The feature map arrives padded by one row/col of
-edge replication so every tile's interpolation halo is uniform; each program
-DMAs its (TILE_H+2, W+2, 128) feature slab HBM→VMEM, computes channel-planar
-logits (C, TILE_H+2, W+2) with one (C×128)·(128×N) MXU contraction, expands
-the 4 bilinear phases per axis, and argmaxes over the C planes.
+v2 (this file) vs the round-1 kernel:
+- features stay **bfloat16** end-to-end (v1 pre-converted the whole map to
+  f32 and pre-padded both axes in XLA — 4.3 ms of pure layout traffic at the
+  headline shape);
+- only the row axis is edge-padded in XLA (cheap, layout-preserving); the
+  column halo is replicated inside the kernel (two (T+2, 128) VMEM copies);
+- **any feature height** is supported — rows are padded up to a whole number
+  of tiles and the extra output rows sliced off, so the 1080-high ACDC val
+  frames (270 feature rows) take the fused path;
+- the label map is emitted as **int8** (19 classes), quartering the output
+  write traffic; caller-visible dtype is int8.
+
+Grid: (batch, row-tiles). Each program DMAs its (TILE_H+2, W, 128) bf16
+feature slab HBM→VMEM, folds BN into scale/shift, computes channel-planar
+logits (C, ·) with one MXU contraction, expands the 4 bilinear phases per
+axis, and argmaxes over the C planes. The 4 column phases write 4 outputs
+that the caller lane-interleaves with one cheap int8 stack+reshape.
 """
 
 from __future__ import annotations
@@ -25,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_H = 8  # input rows per program (→ 32 output rows)
+TILE_H = 8  # input rows per program (→ 32 output rows: one int8 sublane tile)
 
 
 def _phases4(prev: jax.Array, cur: jax.Array, nxt: jax.Array):
@@ -46,18 +57,20 @@ def _kernel(feat_hbm, wt_ref, ab_ref, bias_ref,
     b = pl.program_id(0)
     i = pl.program_id(1)
 
-    # DMA this tile's feature slab (tile_h+2 halo rows, w+2 halo cols) into
-    # the lane-aligned scratch (junk columns [w+2, w_pad) are never read)
+    # DMA this tile's bf16 feature slab (tile_h+2 halo rows × w cols) into
+    # the lane-aligned scratch (tile-aligned dst offset 0; junk columns
+    # [w, w_pad) are never read — the column halo is built by value-level
+    # edge shifts below, since DMA destinations must be sublane-aligned).
     copy = pltpu.make_async_copy(
         feat_hbm.at[b, pl.ds(i * tile_h, tile_h + 2)],
-        scratch.at[:, pl.ds(0, w + 2), :], sem)
+        scratch.at[:, pl.ds(0, w), :], sem)
     copy.start()
     copy.wait()
 
     x = scratch[:]                                   # (tile_h+2, w_pad, 128)
-    a = ab_ref[0, :]                                 # folded BN scale
-    bb = ab_ref[1, :]                                # folded BN shift
-    h = jnp.maximum(x.astype(jnp.float32) * a + bb, 0.0)
+    a = ab_ref[0, :]                                 # folded BN scale (f32)
+    bb = ab_ref[1, :]                                # folded BN shift (f32)
+    h = jnp.maximum(x.astype(jnp.float32) * a + bb, 0.0).astype(jnp.bfloat16)
 
     n = (tile_h + 2) * w_pad
     h2 = h.reshape(n, h.shape[-1])
@@ -77,16 +90,17 @@ def _kernel(feat_hbm, wt_ref, ab_ref, bias_ref,
     hp = jnp.stack(_phases4(prev, cur, nxt), axis=2)          # (C, th, 4, w_pad)
     hp = hp.reshape(c_pad, 4 * tile_h, w_pad)
 
-    # W phases: cols j ∈ [0, w) use halo cols j, j+1, j+2. Lane-interleaving
-    # (and even stacking) the 4 phases trips Mosaic layout inference — each
-    # phase argmaxes independently into its own output; the caller interleaves
-    # with one XLA transpose.
-    prevw = hp[:, :, 0:w]
-    curw = hp[:, :, 1:w + 1]
-    nxtw = hp[:, :, 2:w + 2]
+    # W phases: col j blends cols j-1, j, j+1 with edge replication, built as
+    # value-level shifts (cheap lane rotates). Lane-interleaving (and even
+    # stacking) the 4 phases trips Mosaic layout inference — each phase
+    # argmaxes independently into its own output; the caller interleaves
+    # with one XLA int8 stack.
+    curw = hp[:, :, 0:w]
+    prevw = jnp.concatenate([hp[:, :, 0:1], hp[:, :, 0:w - 1]], axis=-1)
+    nxtw = jnp.concatenate([hp[:, :, 1:w], hp[:, :, w - 1:w]], axis=-1)
     outs = (out0_ref, out1_ref, out2_ref, out3_ref)
     for r, phase in enumerate(_phases4(prevw, curw, nxtw)):   # each (C, 4th, w)
-        outs[r][0, :, :] = jnp.argmax(phase, axis=0).astype(jnp.int32)
+        outs[r][0, :, :] = jnp.argmax(phase, axis=0).astype(jnp.int8)
 
 
 def fused_seghead_upsample_argmax(
@@ -99,7 +113,7 @@ def fused_seghead_upsample_argmax(
     eps: float = 1e-5,
     interpret: bool = False,
 ) -> jax.Array:
-    """(B, 4h, 4w) int32 label map. Matches
+    """(B, 4h, 4w) int8 label map. Matches
     ``argmax(resize_bilinear(BNReluConv(feat), 4×))`` (eval-mode BN)."""
     b, h, w, cin = feat.shape
     kernel2d = conv_kernel.reshape(cin, -1)
@@ -114,20 +128,25 @@ def fused_seghead_upsample_argmax(
     cin_p = ((cin + 127) // 128) * 128
     # weights transposed to (C_pad, cin_p); per-class bias as a (C_pad, 1)
     # column with -1e30 on padded classes
-    wt_full = jnp.zeros((c_pad, cin_p), jnp.float32).at[:c, :cin].set(kernel2d.T)
+    wt_full = jnp.zeros((c_pad, cin_p), jnp.bfloat16).at[:c, :cin].set(
+        kernel2d.T.astype(jnp.bfloat16))
     bias_col = jnp.full((c_pad, 1), -1e30, jnp.float32)
     bias_col = bias_col.at[:c, 0].set(conv_bias.astype(jnp.float32).reshape(-1))
     ab_full = jnp.zeros((2, cin_p), jnp.float32).at[:, :cin].set(ab)
 
-    # pad features: +1 row/col edge replicate for the interpolation halo
-    assert h % TILE_H == 0, f"h={h} must be divisible by {TILE_H}"
-    featp = jnp.pad(feat.astype(jnp.float32), ((0, 0), (1, 1), (1, 1), (0, 0)),
+    # rows: +1 halo each side, plus edge rows up to a whole number of tiles
+    # (any h works; surplus output rows are sliced off below). Row-only bf16
+    # edge padding is layout-preserving — XLA fuses it with the producer.
+    n_tiles = -(-h // TILE_H)
+    hp_rows = n_tiles * TILE_H
+    featp = jnp.pad(feat.astype(jnp.bfloat16),
+                    ((0, 0), (1, 1 + (hp_rows - h)), (0, 0), (0, 0)),
                     mode="edge")
     if cin_p != cin:
         featp = jnp.pad(featp, ((0, 0), (0, 0), (0, 0), (0, cin_p - cin)))
 
     w_pad = ((w + 2 + 127) // 128) * 128
-    grid = (b, h // TILE_H)
+    grid = (b, n_tiles)
     kernel = functools.partial(_kernel, tile_h=TILE_H, w=w, w_pad=w_pad,
                                c_pad=c_pad)
     out = pl.pallas_call(
@@ -144,13 +163,14 @@ def fused_seghead_upsample_argmax(
         ],
         out_specs=[pl.BlockSpec((1, 4 * TILE_H, w), lambda b_, i: (b_, i, 0),
                                 memory_space=pltpu.VMEM) for _ in range(4)],
-        out_shape=[jax.ShapeDtypeStruct((b, 4 * h, w), jnp.int32)
+        out_shape=[jax.ShapeDtypeStruct((b, 4 * hp_rows, w), jnp.int8)
                    for _ in range(4)],
         scratch_shapes=[
-            pltpu.VMEM((TILE_H + 2, w_pad, cin_p), jnp.float32),
+            pltpu.VMEM((TILE_H + 2, w_pad, cin_p), jnp.bfloat16),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(featp, wt_full, ab_full, bias_col)
-    # interleave the 4 W-phases: 4 × (B, 4h, w) → (B, 4h, w, 4) → (B, 4h, 4w)
-    return jnp.stack(out, axis=-1).reshape(b, 4 * h, 4 * w)
+    # interleave the 4 W-phases: 4 × (B, 4hp, w) → (B, 4hp, w, 4) → (B, 4hp, 4w)
+    full = jnp.stack(out, axis=-1).reshape(b, 4 * hp_rows, 4 * w)
+    return full[:, :4 * h] if hp_rows != h else full

@@ -65,3 +65,18 @@ def test_upsample4x_argmax_matches_reference_path(rng):
         resize_bilinear(logits, (32, 48)), axis=-1))
     got = np.asarray(upsample4x_argmax(logits))
     assert (got == want).mean() > 0.999  # ties may flip on dtype order
+
+
+def test_s2d_packed_input_bit_exact(rng):
+    """Host-packed s2d input (s2d_pack) must produce bit-identical pyramid
+    levels to the NHWC path (the pack is a pure relayout)."""
+    from doubly_contrastive_semseg_tpu.ops.input_pipeline import (
+        fused_pyramid_s2d, image_hw, s2d_pack)
+
+    x = rng.uniform(0, 255, (2, 32, 64, 3)).astype(np.float32)
+    mean, std = (73.15, 82.9, 72.3), (47.67, 48.49, 47.73)
+    a = fused_pyramid_s2d(jnp.asarray(x), 3, mean, std, jnp.float32)
+    b = fused_pyramid_s2d(jnp.asarray(s2d_pack(x)), 3, mean, std, jnp.float32)
+    assert image_hw(jnp.asarray(s2d_pack(x))) == (32, 64)
+    for la, lb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
