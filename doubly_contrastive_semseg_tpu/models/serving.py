@@ -28,7 +28,7 @@ def make_serving_fn(model, use_pallas_head: bool = True) -> Callable:
 
     def serve(variables, image):
         out = model.apply(variables, image, train=False)
-        if is_weathernet and use_pallas_head:
+        if is_weathernet and use_pallas_head and out["fine_feat"].shape[1] >= 10:
             # the fused head pads any feature height up to whole tiles, so
             # both the 2048×1024 headline and 1920×1080 ACDC-native (270
             # feature rows) shapes take this path

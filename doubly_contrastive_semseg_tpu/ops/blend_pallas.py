@@ -34,21 +34,20 @@ def _kernel(x_hbm, skip_hbm, w_ref, ab_ref, out_ref, xs_scr, sk_scr, sems,
     b = pl.program_id(0)
     i = pl.program_id(1)
 
-    # skip slab: out rows [i·t − 1, i·t + t + 1) live in the 1-top-padded copy
-    # at rows [i·t, i·t + t + 2) ⊂ aligned read [i·t, i·t + t + 8)
+    # exact halo'd slabs: skip rows [i·t − 1, i·t + t + 1) live at rows
+    # [i·t, i·t + t + 2) of the 1-top-padded copy; x rows [i·t/2 − 1, …)
+    # likewise. bf16 end-to-end — the XLA decoder step computes in bf16 too.
     cp1 = pltpu.make_async_copy(
-        skip_hbm.at[b, pl.ds(i * tile, tile + 8)], sk_scr, sems.at[0])
-    # x slab: up2 output row r reads x rows (r−1)//2 … — rows [i·t/2 − 1,
-    # i·t/2 + t/2 + 1) of x → rows [i·t/2, …) of the 1-top-padded copy
+        skip_hbm.at[b, pl.ds(i * tile, tile + 2)], sk_scr, sems.at[0])
     cp2 = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(i * (tile // 2), tile // 2 + 8)], xs_scr, sems.at[1])
+        x_hbm.at[b, pl.ds(i * (tile // 2), tile // 2 + 2)], xs_scr, sems.at[1])
     cp1.start()
     cp2.start()
     cp1.wait()
     cp2.wait()
 
-    xs = xs_scr[:].astype(jnp.float32)        # (t/2+8, w/2+2, C) x (top-pad 1)
-    sk = sk_scr[:].astype(jnp.float32)        # (t+8, w+2, C) skip (top-pad 1)
+    xs = xs_scr[:]                            # (t/2+2, w/2+2+pad, C) bf16
+    sk = sk_scr[:]                            # (t+2, w+2+pad, C) bf16
 
     # ×2 bilinear phases (align_corners=False): out 2k = ¼x[k−1]+¾x[k],
     # out 2k+1 = ¾x[k]+¼x[k+1]. The slab's row s holds x row i·t/2−1+s, so
@@ -69,7 +68,7 @@ def _kernel(x_hbm, skip_hbm, w_ref, ab_ref, out_ref, xs_scr, sk_scr, sems,
     up = jnp.stack([oddc, evenc], axis=2).reshape(2 * half, w + 2, c)
 
     pre = up[0:tile + 2, :, :] + sk[0:tile + 2, 0:w + 2, :]
-    act = jnp.maximum(pre * ab_ref[0, :] + ab_ref[1, :], 0.0)
+    act = jnp.maximum(pre.astype(jnp.float32) * ab_ref[0, :] + ab_ref[1, :], 0.0)
 
     # conv zero-padding semantics: the activation outside the image is zero,
     # but up() carries edge-clamped values there — mask the frame
@@ -105,7 +104,7 @@ def fused_upsample_blend(
     interpret: bool = False,
 ) -> jax.Array:
     b, hh, ww, c = skip.shape
-    tile = 8
+    tile = 8  # 16 exceeds the 16 MB VMEM scoped limit at 512-wide shapes
     assert blend_kernel_supported(hh, ww, c)
     assert x.shape[1] * 2 == hh and x.shape[2] * 2 == ww
 
@@ -122,10 +121,10 @@ def fused_upsample_blend(
         return ((width + 15) // 16) * 16 - width
 
     xp = jnp.pad(x.astype(jnp.bfloat16),
-                 ((0, 0), (1, 8), (1, 1 + _wpad(ww // 2 + 2)), (0, 0)),
+                 ((0, 0), (1, 1), (1, 1 + _wpad(ww // 2 + 2)), (0, 0)),
                  mode="edge")
     skp = jnp.pad(skip.astype(jnp.bfloat16),
-                  ((0, 0), (1, 8), (1, 1 + _wpad(ww + 2)), (0, 0)))
+                  ((0, 0), (1, 1), (1, 1 + _wpad(ww + 2)), (0, 0)))
 
     kfun = functools.partial(_kernel, tile=tile, w=ww, c=c)
     out = pl.pallas_call(
@@ -142,8 +141,8 @@ def fused_upsample_blend(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hh, ww, c), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((tile // 2 + 8, xp.shape[2], c), jnp.bfloat16),
-            pltpu.VMEM((tile + 8, skp.shape[2], c), jnp.bfloat16),
+            pltpu.VMEM((tile // 2 + 2, xp.shape[2], c), jnp.bfloat16),
+            pltpu.VMEM((tile + 2, skp.shape[2], c), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

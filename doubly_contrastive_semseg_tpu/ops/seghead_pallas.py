@@ -53,19 +53,37 @@ def _phases4(prev: jax.Array, cur: jax.Array, nxt: jax.Array):
 
 def _kernel(feat_hbm, wt_ref, ab_ref, bias_ref,
             out0_ref, out1_ref, out2_ref, out3_ref, scratch, sem,
-            *, tile_h: int, w: int, w_pad: int, c_pad: int):
+            *, tile_h: int, h: int, w: int, w_pad: int, c_pad: int):
     b = pl.program_id(0)
     i = pl.program_id(1)
+    n_tiles = -(-h // tile_h)  # static
 
-    # DMA this tile's bf16 feature slab (tile_h+2 halo rows × w cols) into
-    # the lane-aligned scratch (tile-aligned dst offset 0; junk columns
-    # [w, w_pad) are never read — the column halo is built by value-level
-    # edge shifts below, since DMA destinations must be sublane-aligned).
+    # This tile wants feature rows [i·T − 1, i·T + T + 1) with edge
+    # replication at the image border — no XLA pre-pad (that copy costs
+    # ~0.8 ms at the headline shape). DMA T+2 rows from a clamped start and
+    # fix the edge tiles up with static row moves:
+    #   i == 0:       rows [0, T+2) land in scratch; shift down 1, replicate
+    #                 row 0 on top (shift = −1, static);
+    #   i == last:    rows [h−T−2, h) land; shift up by r+1 where
+    #                 r = n·T − h is the ragged tail (static per shape).
+    start = jnp.clip(i * tile_h - 1, 0, h - (tile_h + 2))
     copy = pltpu.make_async_copy(
-        feat_hbm.at[b, pl.ds(i * tile_h, tile_h + 2)],
+        feat_hbm.at[b, pl.ds(start, tile_h + 2)],
         scratch.at[:, pl.ds(0, w), :], sem)
     copy.start()
     copy.wait()
+
+    @pl.when(i == 0)
+    def _fix_top():
+        for k in range(tile_h + 1, 0, -1):  # shift +1, top halo = row 0
+            scratch[k] = scratch[k - 1]
+
+    tail_shift = (n_tiles * tile_h + 1) - h  # ≥ 1; 1 when h % T == 0
+    if tail_shift > 0:
+        @pl.when((i == n_tiles - 1) & (i > 0))
+        def _fix_bottom():
+            for k in range(0, tile_h + 2):  # ascending: reads not yet written
+                scratch[k] = scratch[min(k + tail_shift, tile_h + 1)]
 
     x = scratch[:]                                   # (tile_h+2, w_pad, 128)
     a = ab_ref[0, :]                                 # folded BN scale (f32)
@@ -134,20 +152,19 @@ def fused_seghead_upsample_argmax(
     bias_col = bias_col.at[:c, 0].set(conv_bias.astype(jnp.float32).reshape(-1))
     ab_full = jnp.zeros((2, cin_p), jnp.float32).at[:, :cin].set(ab)
 
-    # rows: +1 halo each side, plus edge rows up to a whole number of tiles
-    # (any h works; surplus output rows are sliced off below). Row-only bf16
-    # edge padding is layout-preserving — XLA fuses it with the producer.
+    # any h ≥ TILE_H+2 works: the kernel DMAs clamped row windows and
+    # edge-replicates the halo / ragged-tail rows itself (no XLA pre-pad;
+    # surplus output rows of the last tile are sliced off below).
+    assert h >= TILE_H + 2, f"h={h} too small for the fused head"
     n_tiles = -(-h // TILE_H)
     hp_rows = n_tiles * TILE_H
-    featp = jnp.pad(feat.astype(jnp.bfloat16),
-                    ((0, 0), (1, 1 + (hp_rows - h)), (0, 0), (0, 0)),
-                    mode="edge")
+    featp = feat.astype(jnp.bfloat16)
     if cin_p != cin:
         featp = jnp.pad(featp, ((0, 0), (0, 0), (0, 0), (0, cin_p - cin)))
 
     w_pad = ((w + 2 + 127) // 128) * 128
     grid = (b, n_tiles)
-    kernel = functools.partial(_kernel, tile_h=TILE_H, w=w, w_pad=w_pad,
+    kernel = functools.partial(_kernel, tile_h=TILE_H, h=h, w=w, w_pad=w_pad,
                                c_pad=c_pad)
     out = pl.pallas_call(
         kernel,

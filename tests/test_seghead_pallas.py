@@ -53,7 +53,7 @@ def test_fused_seghead_matches_reference(rng, h):
 
 
 def test_fused_seghead_never_picks_padded_class(rng):
-    b, h, w, cin, c = 1, 8, 8, 128, 19
+    b, h, w, cin, c = 1, 16, 8, 128, 19
     feat = rng.standard_normal((b, h, w, cin)).astype(np.float32)
     out = np.asarray(fused_seghead_upsample_argmax(
         jnp.asarray(feat), jnp.ones(cin), jnp.zeros(cin), jnp.zeros(cin),
