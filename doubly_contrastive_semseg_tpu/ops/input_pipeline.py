@@ -146,101 +146,127 @@ def stem_s2d_kernel_from_dense(w_dense: np.ndarray) -> np.ndarray:
 def build_pyramid_planar(image_nhwc: jax.Array, levels: int,
                          mean: Sequence[float], std: Sequence[float],
                          dtype=jnp.bfloat16) -> List[jax.Array]:
-    """Normalized planar pyramid [x, x/2, x/4, ...] ready for the s2d stem."""
-    xp = normalize_planar(to_planar(image_nhwc), mean, std, dtype)
-    out = [xp]
-    for _ in range(1, levels):
-        out.append(downsample2x_bicubic_planar(out[-1]))
-    return out
+    """Normalized planar pyramid [x, x/2, x/4, ...] ready for the s2d stem —
+    each level computed directly from the full image (reference
+    ``resnet_pyramid.py:306-314`` semantics)."""
+    from .interpolate import downsample_bicubic_direct
+
+    mean_a = jnp.asarray(mean, jnp.float32)
+    std_a = jnp.asarray(std, jnp.float32)
+    xn = ((image_nhwc - mean_a) / std_a).astype(dtype)
+    return [to_planar(downsample_bicubic_direct(xn, l)) for l in range(levels)]
 
 
 _WB = np.array([_T0, _T1, _T1, _T0], np.float64)  # /2 bicubic row filter
 
 
-def _phase_filter(levels_down: int) -> np.ndarray:
-    """Per-s2d-phase row filters for the composed ``levels_down`` bicubic /2
-    downsamples followed by s2d(2).
+def _direct_level_kernel(level: int, c: int = 3) -> np.ndarray:
+    """s2d-domain kernel computing pyramid level L (>= 1) DIRECTLY from the
+    level-0 s2d tensor — the reference semantics: each level is
+    ``F.interpolate(image, scale_factor=2^-L, mode='bicubic')`` from the
+    full-res image (``resnet_pyramid.py:306-314``), i.e. a 4-tap
+    point-sampled cubic at stride 2^L, NOT an iterated /2 chain (those
+    differ from level 2 on; proven against torch in tests).
 
-    Returns F of shape (2, taps): F[i, d] is the weight of input row
-    ``(stride·a − off) + d`` contributing to s2d phase i of output cell a,
-    where stride = 2^(levels_down+1) and off = 2^(levels_down+1) − 2 − 1 …
-    computed alongside in ``_phase_geometry``.
+    Output pixel p of level L reads input rows 2^L*p + 2^(L-1) - 2 + e,
+    e in [0, 4), with weights ``_WB`` (torch taps at distances ±0.5, ±1.5).
+    Over s2d cells (2 rows each, out phase i, in phase t&1):
+    L=1 -> window cells [-1..2]: kernel 4, stride 2, pad (1, 2);
+    L>=2 -> window cells [0..2^L-1]: kernel 2^L, stride 2^L, NO padding
+    (the 4-tap window never leaves the output cell's own input span).
+    Layout: channel index = c*4 + dy*2 + dx on both sides.
     """
-    # filter of the composed downsample chain: start with identity (1 tap)
-    f = np.array([1.0])
-    for _ in range(levels_down):
-        # x_next[r] = Σ_e wB[e] · x[2r − 1 + e]  → compose
-        nf = np.zeros(2 * (len(f) - 1) + 4 + 1)
-        for r_off, w in enumerate(f):
-            for e, wb in enumerate(_WB):
-                nf[2 * r_off + e] += w * wb
-        f = nf
-    # two s2d phases: phase i reads the chain shifted by i output rows
-    stride_in = 2 ** levels_down
-    taps = len(f) + stride_in
-    out = np.zeros((2, taps))
-    for i in range(2):
-        out[i, i * stride_in: i * stride_in + len(f)] = f
-    # trim trailing all-zero taps picked up by the composition bookkeeping
-    while out.shape[1] > 1 and not out[:, -1].any():
-        out = out[:, :-1]
-    return out
-
-
-def _phase_offset(levels_down: int) -> int:
-    """Leftmost input row touched by output cell 0 (negative), i.e. the
-    required left halo: 0, 1, 3 for levels 0, 1, 2 — in general 2^L − 1."""
-    return 2 ** levels_down - 1
-
-
-def _s2d_chain_kernel(c: int = 3) -> np.ndarray:
-    """(4, 4, 4c, 4c) stride-2 conv kernel mapping level L's s2d tensor to
-    level L+1's, i.e. s2d ∘ bicubic/2 expressed over s2d cells:
-    x_{L+1}[2a+i] = Σ_e wB[e]·x_L[4a+2i−1+e], and row 4a+2i−1+e lives in s2d
-    cell (2a+i−1+⌈e/…⌉) — working it out, output phase i reads cells
-    2a−1 … 2a+2 (a 4-tap stride-2 window with pad (1, 2))."""
-    wb = _WB
-    r = np.zeros((2, 4, 2))  # r[i][cell_tap, phase]
+    s = 2 ** level
+    off = 2 ** (level - 1) - 2
+    shift = 1 if level == 1 else 0
+    K = 4 if level == 1 else s
+    cc = 4 * c
+    k = np.zeros((K, K, cc, cc), np.float32)
     for i in range(2):
         for e in range(4):
-            t = 2 * i - 1 + e           # row offset from 4a
-            r[i][(t >> 1) + 1, t & 1] += wb[e]
-    k = np.zeros((4, 4, 4 * c, 4 * c), np.float32)
-    for ci in range(c):
-        for i in range(2):
+            t = s * i + off + e
+            ca, pa, wa = (t >> 1) + shift, t & 1, _WB[e]
             for j in range(2):
-                for ka in range(4):
-                    for kb in range(4):
-                        for pi in range(2):
-                            for pj in range(2):
-                                k[ka, kb, ci * 4 + pi * 2 + pj,
-                                  ci * 4 + i * 2 + j] = r[i][ka, pi] * r[j][kb, pj]
+                for f in range(4):
+                    u = s * j + off + f
+                    cb, pb, wb = (u >> 1) + shift, u & 1, _WB[f]
+                    for ci in range(c):
+                        k[ca, cb, ci * 4 + pa * 2 + pb,
+                          ci * 4 + i * 2 + j] += wa * wb
     return k
 
 
-_CHAIN_FOLD = 8  # input cells per folded column (4 output pixels per cell)
+_CHAIN_FOLD = 8  # input cells per folded column
 
 
-def _fold_chain_kernel(c: int, fold: int) -> np.ndarray:
-    """W-folded form of ``_s2d_chain_kernel``: reshaping the input's W axis
-    into channels ((…, W, 4c) → (…, W/fold, fold·4c) — a free row-major
-    reshape) turns the stride-(2,2) chain conv into a stride-(2,1) conv whose
-    output unfolds back for free ((…, W/(2·fold)... fold/2 outputs per cell).
-    Output col a' = (fold/2)·A + q reads padded cols 2q+dx+(fold−1) of cell
-    window [A, A+2]. 4c=12, fold=8 → kernel (4, 3, 96, 48): an MXU-shaped
-    contraction instead of a 12-lane-starved strided conv (3.5× faster
-    measured; bit-exact)."""
-    kc = _s2d_chain_kernel(c)
+def _fold_level_kernel(level: int, c: int, fold: int) -> np.ndarray:
+    """W-folded form of ``_direct_level_kernel``: reshaping the input's W
+    axis into channels ((…, W, 4c) -> (…, W/fold, fold*4c), a free row-major
+    reshape) turns the stride-(s, s) tiny-channel conv into a stride-(s, 1)
+    MXU-shaped contraction; the output unfolds back for free.
+
+    L=1: out col b = 4B + q reads cells 8B + 2q + (dxc - 1); with one folded
+    pad column each side, folded col = 1 + (2q + dxc - 1)//8 in [0, 2] ->
+    kernel (4, 3, 8*cc, 4*cc), strides (2, 1).
+    L=2: out col b = 2B + q reads cells 8B + 4q + dxc, all inside folded col
+    B -> kernel (4, 1, 8*cc, 2*cc), strides (4, 1), no padding.
+    """
+    kd = _direct_level_kernel(level, c)
     cc = 4 * c
-    fo = fold // 2
-    k = np.zeros((4, 3, fold * cc, fo * cc), np.float32)
-    for dy in range(4):
-        for q in range(fo):
-            for dx in range(4):
-                pos = 2 * q + dx + (fold - 1)
-                cell, ph = pos // fold, pos % fold
-                k[dy, cell, ph * cc:(ph + 1) * cc, q * cc:(q + 1) * cc] += kc[dy, dx]
-    return k
+    s = 2 ** level
+    g = fold // s
+    K = kd.shape[0]
+    if level == 1:
+        kf = np.zeros((K, 3, fold * cc, g * cc), np.float32)
+        for q in range(g):
+            for dxc in range(K):
+                pos = 2 * q + dxc - 1 + fold
+                kb, ph = pos // fold, pos % fold
+                kf[:, kb, ph * cc:(ph + 1) * cc, q * cc:(q + 1) * cc] += kd[:, dxc]
+        return kf
+    assert level == 2 and fold == 2 * s
+    kf = np.zeros((K, 1, fold * cc, g * cc), np.float32)
+    for q in range(g):
+        for dxc in range(K):
+            ph = s * q + dxc
+            kf[:, 0, ph * cc:(ph + 1) * cc, q * cc:(q + 1) * cc] += kd[:, dxc]
+    return kf
+
+
+def _cell_phase_perm(c: int, dy: int = None, dx: int = None) -> np.ndarray:
+    """Channel permutation pinning an s2d cell's in-cell row (dy) and/or
+    column (dx) phase — used to build border cells with torch's per-PIXEL
+    clamp semantics (replicating whole 2-pixel cells would shift the edge)."""
+    cc = 4 * c
+    perm = np.arange(cc)
+    for idx in range(cc):
+        ci, rem = divmod(idx, 4)
+        py, px = rem >> 1, rem & 1
+        if dy is not None:
+            py = dy
+        if dx is not None:
+            px = dx
+        perm[idx] = ci * 4 + py * 2 + px
+    return perm
+
+
+def _clamp_pad_h(x: jax.Array, c: int) -> jax.Array:
+    """Pad the cell-H axis by (1, 2) with clamp-exact border cells: the top
+    pad cell's read phase is row 0, the bottom pad cell's is row H-1."""
+    top = jnp.take(x[:, :1], jnp.asarray(_cell_phase_perm(c, dy=0)), axis=-1)
+    bot = jnp.take(x[:, -1:], jnp.asarray(_cell_phase_perm(c, dy=1)), axis=-1)
+    return jnp.concatenate([top, x, bot, bot], axis=1)
+
+
+def _clamp_pad_w(x: jax.Array, c: int, left_n: int, right_n: int) -> jax.Array:
+    """Same for the cell-W axis, (left_n, right_n) cells of padding (only the
+    innermost cell on each side is ever read; tiling the exact cell keeps
+    the fill trivially correct)."""
+    left = jnp.take(x[:, :, :1], jnp.asarray(_cell_phase_perm(c, dx=0)), axis=-1)
+    right = jnp.take(x[:, :, -1:], jnp.asarray(_cell_phase_perm(c, dx=1)), axis=-1)
+    lt = jnp.concatenate([left] * left_n, axis=2)
+    rt = jnp.concatenate([right] * right_n, axis=2)
+    return jnp.concatenate([lt, x, rt], axis=2)
 
 
 def fused_pyramid_s2d(image: jax.Array, levels: int,
@@ -251,12 +277,12 @@ def fused_pyramid_s2d(image: jax.Array, levels: int,
     - level 0: host-packed s2d input (``s2d_pack``) is just normalized;
       NHWC/planar inputs pay one reshape-transpose s2d (~6.5 ms at batch-8
       2048×1024 — feed s2d-packed batches on the hot serving path);
-    - levels 1+: one W-folded stride-(2,1) conv each (the bicubic /2 composed
-      with s2d over s2d cells — ``_fold_chain_kernel``), on edge-padded cells.
+    - levels >= 1: ONE W-folded conv each, directly from level 0
+      (``_fold_level_kernel``) — matching the reference's
+      direct-from-full-res ``F.interpolate(scale_factor=2^-L)`` semantics
+      bit-for-bit, including torch's per-pixel border clamp
+      (``_clamp_pad_h/_w``); level 2+ needs no padding at all.
 
-    Border note: edge replication over s2d *cells* replicates 2-pixel blocks,
-    so the outermost 1-2 pixels of levels ≥ 1 deviate slightly from the
-    reference's per-pixel replication (interior is exact — see tests).
     Returns [(B, H/2^{L+1}, W/2^{L+1}, 12)] for L in [0, levels).
     """
     if is_s2d_image(image):
@@ -278,26 +304,38 @@ def fused_pyramid_s2d(image: jax.Array, levels: int,
                .transpose(0, 1, 3, 5, 2, 4).reshape(b, h // 2, w // 2, 4 * c)
 
     cc = 4 * c
-    fold, fo = _CHAIN_FOLD, _CHAIN_FOLD // 2
-    kf = jnp.asarray(_fold_chain_kernel(c, fold), dtype)
-    kc = jnp.asarray(_s2d_chain_kernel(c), dtype)
+    fold = _CHAIN_FOLD
     outs = [s0]
-    cur = s0
-    for _ in range(1, levels):
-        b, h, w, _ = cur.shape
-        if w % fold == 0 and (w // 2) % fo == 0:
-            p = jnp.pad(cur, ((0, 0), (1, 2), (fold, fold), (0, 0)), mode="edge")
-            pf = p.reshape(b, h + 3, (w + 2 * fold) // fold, fold * cc)
-            y = jax.lax.conv_general_dilated(
-                pf, kf, (2, 1), "VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32)
-            cur = y[:, :, :(w // 2) // fo, :].reshape(
-                b, h // 2, w // 2, cc).astype(dtype)
-        else:  # tiny widths (test shapes): plain strided form
-            padded = jnp.pad(cur, ((0, 0), (1, 2), (1, 2), (0, 0)), mode="edge")
+    b = s0.shape[0]
+    for lv in range(1, levels):
+        h2, w2 = s0.shape[1], s0.shape[2]
+        s = 2 ** lv
+        foldable = lv <= 2 and w2 % fold == 0 and (w2 // s) % (fold // s) == 0
+        if foldable:
+            g = fold // s
+            kf = jnp.asarray(_fold_level_kernel(lv, c, fold), dtype)
+            if lv == 1:
+                x = _clamp_pad_w(_clamp_pad_h(s0, c), c, fold, fold)
+                xf = x.reshape(b, h2 + 3, (w2 + 2 * fold) // fold, fold * cc)
+                y = jax.lax.conv_general_dilated(
+                    xf, kf, (2, 1), "VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.float32)
+                y = y[:, :, : (w2 // 2) // g, :]
+            else:
+                xf = s0.reshape(b, h2, w2 // fold, fold * cc)
+                y = jax.lax.conv_general_dilated(
+                    xf, kf, (s, 1), "VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.float32)
+            cur = y.reshape(b, h2 // s, w2 // s, cc).astype(dtype)
+        else:  # plain strided form (tiny widths / levels > 2)
+            kd = jnp.asarray(_direct_level_kernel(lv, c), dtype)
+            x = s0
+            if lv == 1:
+                x = _clamp_pad_w(_clamp_pad_h(s0, c), c, 1, 2)
             cur = jax.lax.conv_general_dilated(
-                padded, kc, (2, 2), "VALID",
+                x, kd, (s, s), "VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.float32).astype(dtype)
         outs.append(cur)

@@ -81,7 +81,7 @@ def main():
 
     # ---- input pyramid (fused s2d form) ----
     from doubly_contrastive_semseg_tpu.ops.input_pipeline import (
-        _s2d_chain_kernel, fused_pyramid_s2d)
+        fused_pyramid_s2d)
 
     img = jax.device_put(jnp.ones((B, H, W, 3), jnp.float32), dev)
     mean = (73.15, 82.90, 72.3)

@@ -67,6 +67,60 @@ def test_upsample4x_argmax_matches_reference_path(rng):
     assert (got == want).mean() > 0.999  # ties may flip on dtype order
 
 
+def test_fused_pyramid_matches_torch_direct(rng):
+    """Every pyramid level must equal torch's DIRECT
+    ``F.interpolate(image, scale_factor=2^-L, mode='bicubic')`` — including
+    border pixels (per-pixel clamp) and both the W-folded and plain conv
+    paths. Uses float32-precision convs (the default CPU/TPU conv precision
+    is bf16-grade, which would mask real errors behind rounding)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from doubly_contrastive_semseg_tpu.ops.input_pipeline import fused_pyramid_s2d
+
+    mean, std = (73.15, 82.9, 72.3), (47.67, 48.49, 47.73)
+
+    def unpack(p):
+        b, h2, w2, _ = p.shape
+        y = np.asarray(p).reshape(b, h2, w2, 3, 2, 2)
+        o = np.zeros((b, h2 * 2, w2 * 2, 3), np.float32)
+        for dy in range(2):
+            for dx in range(2):
+                o[:, dy::2, dx::2, :] = y[:, :, :, :, dy, dx]
+        return o
+
+    for hw in [(32, 48), (64, 128), (64, 56)]:  # fold-eligible + plain widths
+        x = rng.uniform(0, 255, (1, *hw, 3)).astype(np.float32)
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        xn = (xt - torch.tensor(mean).view(1, -1, 1, 1)) / \
+            torch.tensor(std).view(1, -1, 1, 1)
+        with jax.default_matmul_precision("highest"):
+            pyr = fused_pyramid_s2d(jnp.asarray(x), 3, mean, std, jnp.float32)
+        for lv in range(3):
+            want = xn if lv == 0 else F.interpolate(
+                xn, scale_factor=0.5 ** lv, mode="bicubic")
+            got = unpack(pyr[lv]).transpose(0, 3, 1, 2)
+            np.testing.assert_allclose(got, want.numpy(), rtol=2e-5, atol=2e-5,
+                                       err_msg=f"hw={hw} level={lv}")
+
+
+def test_downsample_direct_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from doubly_contrastive_semseg_tpu.ops.interpolate import (
+        downsample_bicubic_direct)
+
+    x = rng.standard_normal((2, 32, 48, 3)).astype(np.float32)
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    for lv in (1, 2, 3):
+        want = F.interpolate(xt, scale_factor=0.5 ** lv, mode="bicubic").numpy()
+        with jax.default_matmul_precision("highest"):
+            got = np.asarray(downsample_bicubic_direct(jnp.asarray(x), lv))
+        np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
+                                   rtol=2e-5, atol=2e-5, err_msg=f"level={lv}")
+
+
 def test_s2d_packed_input_bit_exact(rng):
     """Host-packed s2d input (s2d_pack) must produce bit-identical pyramid
     levels to the NHWC path (the pack is a pure relayout)."""
