@@ -41,6 +41,14 @@ MODELS = (
     "mobilenetv2",
     "efficientnetb0",
     "enet",
+    # single-scale RODSNet-era SwiftNet variants (reference
+    # network/backbone/resnet_18.py:206-809, flag-reachable there too)
+    "resnet18_single",
+    "resnet18_hourglass",
+    "resnet18_rgbd",
+    # older pyramid revision with per-level BN in every block (reference
+    # network/backbone/resnet_pyramid_back.py)
+    "resnet18_back",
     # deeplab factory names (reference network/modeling.py:151-231)
     "deeplabv3_resnet50",
     "deeplabv3plus_resnet50",
@@ -135,6 +143,12 @@ class Config:
     output_dir: str = "output"
     new_crop: bool = False
     disp_to_obst_ch: bool = False
+    # stereo network composition (reference WeatherNet ctor args,
+    # network/weathernet.py:20-24: aggregation_type / feature_similarity;
+    # refinement head selection lived in the RODSNet-era model zoo)
+    aggregation_type: str = "adaptive"
+    refinement_type: str = "semantic"
+    feature_similarity: str = "correlation"
 
     # -- hyper-parameters (options.py:167-176)
     amp: bool = False
@@ -294,6 +308,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_dir", type=str, default=d.output_dir)
     _add_bool_flag(p, "new_crop", False)
     _add_bool_flag(p, "disp_to_obst_ch", False)
+    p.add_argument("--aggregation_type", type=str, default=d.aggregation_type,
+                   choices=["adaptive", "stereonet", "psmnet_basic",
+                            "psmnet_hg", "gcnet"])
+    p.add_argument("--refinement_type", type=str, default=d.refinement_type,
+                   choices=["semantic", "stereonet", "stereodrnet", "hourglass",
+                            "disp_sem", "new1", "new2", "new3", "new4", "new5",
+                            "new9", "new10", "new12"])
+    p.add_argument("--feature_similarity", type=str,
+                   default=d.feature_similarity,
+                   choices=["correlation", "difference", "concat"])
     # hyper-params
     _add_bool_flag(p, "amp", False)
     _add_bool_flag(p, "debug", False)

@@ -191,7 +191,8 @@ class StereoDCSS(nn.Module):
     max_disp: int = 192
     num_classes: int = 19
     num_scales: int = 1
-    refinement_type: str = "semantic"  # stereonet | semantic
+    aggregation_type: str = "adaptive"  # adaptive | stereonet | psmnet_basic | psmnet_hg | gcnet
+    refinement_type: str = "semantic"  # stereonet | semantic | stereodrnet | hourglass | new1.. (stereo_extras)
     train_semantic: bool = True
     dtype: Dtype = jnp.float32
 
@@ -202,12 +203,33 @@ class StereoDCSS(nn.Module):
         left_feat, _ = fe(left, train=train)     # (B, H/4, W/4, 128)
         right_feat, _ = fe(right, train=train)
 
-        vols = cost_volume_pyramid([left_feat], [right_feat],
-                                   self.max_disp // 4, "correlation")
-        vols = AdaptiveAggregation(num_scales=1, num_fusions=3,
-                                   num_deform_blocks=2, dtype=self.dtype,
-                                   name="aggregation")(vols, train)
-        disp_low = soft_argmin_disparity(vols[0])  # (B, H/4, W/4), units: /4 px
+        if self.aggregation_type == "adaptive":
+            vols = cost_volume_pyramid([left_feat], [right_feat],
+                                       self.max_disp // 4, "correlation")
+            vols = AdaptiveAggregation(num_scales=1, num_fusions=3,
+                                       num_deform_blocks=2, dtype=self.dtype,
+                                       name="aggregation")(vols, train)
+            disp_low = soft_argmin_disparity(vols[0])  # (B, H/4, W/4), /4 px
+        else:
+            # 3D-conv paths (reference aggregation.py:70-311) consume 5-D
+            # volumes: StereoNet takes the feature-difference volume,
+            # PSMNet/GCNet the concat volume (costs → negate for soft-argmin)
+            from ..ops.cost_volume import cost_volume
+            from .stereo_extras import make_aggregation, volume_to_ndhwc
+
+            similarity = "difference" if self.aggregation_type == "stereonet" \
+                else "concat"
+            vol = cost_volume(left_feat, right_feat, self.max_disp // 4,
+                              similarity)
+            agg = make_aggregation(self.aggregation_type, self.max_disp,
+                                   dtype=self.dtype, name="aggregation")
+            out_vol = agg(volume_to_ndhwc(vol), train)
+            if isinstance(out_vol, list):  # psmnet_hg deep supervision
+                out_vol = out_vol[-1]
+            match_similarity = self.aggregation_type == "stereonet"
+            # PSMNet volumes are trilinear-upsampled to full res with 4D bins,
+            # so their soft-argmin is already in full-res pixel units
+            disp_low = soft_argmin_disparity(out_vol, match_similarity)
 
         out: Dict[str, jax.Array] = {"disp_pyramid": [disp_low]}
         if self.train_semantic:
@@ -219,9 +241,19 @@ class StereoDCSS(nn.Module):
             out["seg"] = resize_bilinear(
                 seg_beforeup, (left.shape[-3], left.shape[-2]))
 
+        from .stereo_extras import REFINE_NEW_VARIANTS, make_refinement
+
         if self.refinement_type == "semantic" and self.train_semantic:
             disp = SemanticGuidedRefinement(dtype=self.dtype, name="refinement")(
                 disp_low, left, left_feat, train)
+        elif self.refinement_type in ("stereodrnet", "hourglass"):
+            disp = make_refinement(self.refinement_type, dtype=self.dtype,
+                                   name="refinement")(disp_low, left, right, train)
+        elif self.refinement_type in REFINE_NEW_VARIANTS:
+            disp, sem_ref = make_refinement(self.refinement_type, dtype=self.dtype,
+                                            name="refinement")(
+                disp_low, left, left_feat, train)
+            out["sem_refined"] = sem_ref
         else:
             disp = StereoNetRefinement(dtype=self.dtype, name="refinement")(
                 disp_low, left, train)

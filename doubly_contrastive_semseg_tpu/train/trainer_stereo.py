@@ -61,6 +61,8 @@ class StereoTrainer:
         self.model = StereoDCSS(
             max_disp=max_disp, num_classes=cfg.num_classes,
             train_semantic=cfg.train_semantic,
+            aggregation_type=cfg.aggregation_type,
+            refinement_type=cfg.refinement_type,
             dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32)
         self.mesh = make_mesh(cfg.num_devices)
 
