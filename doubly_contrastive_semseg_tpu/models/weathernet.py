@@ -83,7 +83,8 @@ class WeatherNet(nn.Module):
 
     @nn.compact
     def __call__(self, image: jax.Array, *, train: bool = False,
-                 return_supcon_feature: bool = False) -> Dict[str, jax.Array]:
+                 return_supcon_feature: bool = False,
+                 depth: Optional[jax.Array] = None) -> Dict[str, jax.Array]:
         if self.backbone == "resnet18":
             fe = resnet18_pyramid(dtype=self.dtype, efficient=self.efficient,
                                   name="feature_extractor")
@@ -94,10 +95,36 @@ class WeatherNet(nn.Module):
             from .efficientnet_pyramid import PyramidEfficientNet
 
             fe = PyramidEfficientNet(dtype=self.dtype, name="feature_extractor")
+        elif self.backbone == "mobilenetv2":
+            from .mobilenetv2_pyramid import PyramidMobileNetV2
+
+            fe = PyramidMobileNetV2(dtype=self.dtype, name="feature_extractor")
+        elif self.backbone == "resnet18_back":
+            from .resnet_pyramid_back import resnet18_pyramid_back
+
+            fe = resnet18_pyramid_back(dtype=self.dtype, name="feature_extractor")
+        elif self.backbone == "resnet18_single":
+            from .swiftnet_single import SingleScaleSwiftNet
+
+            fe = SingleScaleSwiftNet(dtype=self.dtype, name="feature_extractor")
+        elif self.backbone == "resnet18_hourglass":
+            from .swiftnet_single import HourglassSwiftNet
+
+            fe = HourglassSwiftNet(dtype=self.dtype, name="feature_extractor")
+        elif self.backbone == "resnet18_rgbd":
+            from .swiftnet_single import RGBDSwiftNet
+
+            fe = RGBDSwiftNet(dtype=self.dtype, name="feature_extractor")
         else:
             raise NotImplementedError(f"backbone {self.backbone}")
 
-        fine_feat, additional = fe(image, train=train)
+        if self.backbone == "resnet18_rgbd":
+            # depth-gated two-branch variant (reference resnet_18.py:206-500);
+            # without a depth channel in the batch, gate on a zero depth map
+            d = depth if depth is not None else jnp.zeros(image.shape[:-1])
+            fine_feat, additional = fe(image, d, train=train)
+        else:
+            fine_feat, additional = fe(image, train=train)
 
         if return_supcon_feature:
             bsz = fine_feat.shape[0] // 2
@@ -142,10 +169,12 @@ class DCSSModel(nn.Module):
 
     @nn.compact
     def __call__(self, image: jax.Array, *, train: bool = False,
-                 return_supcon_feature: bool = False) -> Dict[str, jax.Array]:
+                 return_supcon_feature: bool = False,
+                 depth: Optional[jax.Array] = None) -> Dict[str, jax.Array]:
         net = WeatherNet(backbone=self.backbone, num_classes=self.num_classes,
                          efficient=self.efficient, dtype=self.dtype, name="net")
-        out = net(image, train=train, return_supcon_feature=return_supcon_feature)
+        out = net(image, train=train, return_supcon_feature=return_supcon_feature,
+                  depth=depth)
 
         clf = WeatherClassifier(self.weather_num, dtype=self.dtype, name="weather_clf")
         out["weather_logits"] = clf(out["fine_feat0"])
@@ -171,7 +200,9 @@ def build_model(cfg) -> nn.Module:
         from .enet import build_enet_dcss
 
         return build_enet_dcss(cfg, dtype)
-    if cfg.model in ("resnet18", "resnet34", "efficientnetb0"):
+    if cfg.model in ("resnet18", "resnet34", "efficientnetb0", "mobilenetv2",
+                     "resnet18_single", "resnet18_hourglass", "resnet18_rgbd",
+                     "resnet18_back"):
         return DCSSModel(backbone=cfg.model, num_classes=cfg.num_classes,
                          weather_num=cfg.weather_num, dtype=dtype)
     raise NotImplementedError(f"model {cfg.model}")

@@ -78,3 +78,21 @@ def test_enet_pool_unpool_roundtrip(rng):
     np.testing.assert_allclose(taken, pooled_np, rtol=1e-6)
     mask = np.arange(4)[None, None, None, :, None] == idx_np[:, :, :, None, :]
     np.testing.assert_array_equal(win[~np.broadcast_to(mask, win.shape)], 0.0)
+
+
+@pytest.mark.parametrize("name", ["mobilenetv2", "resnet18_single",
+                                  "resnet18_hourglass", "resnet18_rgbd",
+                                  "resnet18_back"])
+def test_factory_reaches_legacy_backbones(name):
+    """The mnv2 pyramid and the single-scale RODSNet-era SwiftNet variants
+    are flag-reachable (reference keeps them reachable too: mnv2_pyramid.py,
+    resnet_18.py:206-809) and honor the standard output contract."""
+    cfg = _cfg(name)
+    model = build_model(cfg)
+    b, s = 1, 128  # mnv2 pyramid needs /128 for all 6 skip levels
+    x = jnp.zeros((2 * b, s, s, 3), jnp.float32)
+    _, out = _init_and_apply(model, x, supcon=True)
+    assert out["seg"].shape == (b, s, s, 19)
+    assert out["fine_feat"].shape == (2 * b, s // 4, s // 4, 128)
+    assert out["fine_feat0"].shape[0] == b
+    assert out["supcon_proj"].shape == (b, 2, 128)
