@@ -10,6 +10,10 @@ from .transforms import (
     CropBlackArea,
     ColorJitter,
     RandomHorizontalFlip,
+    RandomVerticalFlip,
+    RandomResizedCrop,
+    RandomAffine,
+    RandomErasing,
 )
 from .acdc import ACDC, CITYSCAPES_ID_TO_TRAIN_ID, TRAIN_ID_TO_COLOR, WEATHER_DICT
 from .acdc_city import ACDC_City

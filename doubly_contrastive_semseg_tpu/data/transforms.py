@@ -267,3 +267,162 @@ class ToArrays:
         if "weather" in sample and sample["weather"] is not None:
             out["weather"] = np.asarray(sample["weather"], np.int32).reshape(())
         return out
+
+
+class RandomVerticalFlip:
+    """Vertical flip of image+label (reference torchvision-fork
+    ``custom_transforms.py::RandomVerticalFlip``)."""
+
+    def __init__(self, p: float = 0.5, rng: Optional[np.random.Generator] = None):
+        self.p = p
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, sample: Dict) -> Dict:
+        if self.rng.random() < self.p:
+            sample["left"] = sample["left"].transpose(Image.FLIP_TOP_BOTTOM)
+            if sample.get("label") is not None:
+                sample["label"] = sample["label"].transpose(Image.FLIP_TOP_BOTTOM)
+        return sample
+
+
+class RandomResizedCrop:
+    """Random-area/aspect crop resized to ``size`` (reference torchvision-fork
+    ``custom_transforms.py:769-858``: scale=(0.08, 1), ratio=(3/4, 4/3), 10
+    attempts then center fallback). Labels ride along with NEAREST."""
+
+    def __init__(self, size, scale=(0.08, 1.0), ratio=(3. / 4., 4. / 3.),
+                 rng: Optional[np.random.Generator] = None):
+        self.size = size if isinstance(size, tuple) else (size, size)
+        self.scale = scale
+        self.ratio = ratio
+        self.rng = rng or np.random.default_rng()
+
+    def _params(self, img: Image.Image):
+        import math
+
+        w_img, h_img = img.size
+        area = w_img * h_img
+        for _ in range(10):
+            target_area = float(self.rng.uniform(*self.scale)) * area
+            log_ratio = (math.log(self.ratio[0]), math.log(self.ratio[1]))
+            aspect = math.exp(float(self.rng.uniform(*log_ratio)))
+            w = int(round(math.sqrt(target_area * aspect)))
+            h = int(round(math.sqrt(target_area / aspect)))
+            if 0 < w <= w_img and 0 < h <= h_img:
+                x0 = int(self.rng.integers(0, w_img - w + 1))
+                y0 = int(self.rng.integers(0, h_img - h + 1))
+                return x0, y0, w, h
+        # fallback: center crop at the closest in-range aspect (torchvision)
+        in_ratio = w_img / h_img
+        if in_ratio < min(self.ratio):
+            w, h = w_img, int(round(w_img / min(self.ratio)))
+        elif in_ratio > max(self.ratio):
+            h, w = h_img, int(round(h_img * max(self.ratio)))
+        else:
+            w, h = w_img, h_img
+        return (w_img - w) // 2, (h_img - h) // 2, w, h
+
+    def __call__(self, sample: Dict) -> Dict:
+        x0, y0, w, h = self._params(sample["left"])
+        box = (x0, y0, x0 + w, y0 + h)
+        out = dict(sample)
+        out["left"] = sample["left"].crop(box).resize(self.size, RESAMPLE_IMG)
+        if sample.get("label") is not None:
+            out["label"] = sample["label"].crop(box).resize(self.size, Image.NEAREST)
+        return out
+
+
+class RandomAffine:
+    """Random rotation/translation/scale/shear keeping the image center fixed
+    (reference torchvision-fork ``custom_transforms.py:1177-1374``). Image
+    resamples bilinear with ``fillcolor``; labels nearest with the ignore id."""
+
+    def __init__(self, degrees=0.0, translate=None, scale=None, shear=None,
+                 fillcolor=0, ignore_id: int = 255,
+                 rng: Optional[np.random.Generator] = None):
+        self.degrees = (-degrees, degrees) if np.isscalar(degrees) else degrees
+        self.translate = translate
+        self.scale_range = scale
+        self.shear = (-shear, shear) if np.isscalar(shear) and shear else shear
+        self.fillcolor = fillcolor
+        self.ignore_id = ignore_id
+        self.rng = rng or np.random.default_rng()
+
+    def _matrix(self, w: int, h: int):
+        import math
+
+        angle = math.radians(float(self.rng.uniform(*self.degrees)))
+        if self.translate is not None:
+            max_dx, max_dy = self.translate[0] * w, self.translate[1] * h
+            tx = float(self.rng.uniform(-max_dx, max_dx))
+            ty = float(self.rng.uniform(-max_dy, max_dy))
+        else:
+            tx = ty = 0.0
+        s = float(self.rng.uniform(*self.scale_range)) if self.scale_range else 1.0
+        shx = math.radians(float(self.rng.uniform(*self.shear))) if self.shear else 0.0
+
+        # inverse affine about the center (torchvision RandomAffine math)
+        cx, cy = w * 0.5, h * 0.5
+        a = math.cos(angle + shx) / max(math.cos(shx), 1e-8) / s
+        b = (math.cos(angle + shx) * math.tan(shx) + math.sin(angle)) / max(
+            math.cos(shx), 1e-8) / s * -1.0
+        c = math.sin(angle) / s * 1.0
+        d = math.cos(angle) / s
+        # x_src = a(x−cx−tx) + b(y−cy−ty) + cx ; y_src = −c(…) + d(…) + cy
+        return (a, b, cx - a * (cx + tx) - b * (cy + ty),
+                -c, d, cy + c * (cx + tx) - d * (cy + ty))
+
+    def __call__(self, sample: Dict) -> Dict:
+        w, h = sample["left"].size
+        m = self._matrix(w, h)
+        out = dict(sample)
+        out["left"] = sample["left"].transform(
+            (w, h), Image.AFFINE, m, resample=Image.BILINEAR,
+            fillcolor=self.fillcolor)
+        if sample.get("label") is not None:
+            out["label"] = sample["label"].transform(
+                (w, h), Image.AFFINE, m, resample=Image.NEAREST,
+                fillcolor=self.ignore_id)
+        return out
+
+
+class RandomErasing:
+    """Erase a random rectangle of the image array (reference torchvision-fork
+    ``custom_transforms.py:1376-1460``; Zhong et al. 2017). Runs after
+    ``ToArrays`` (array domain); the label is left untouched, matching
+    torchvision (erasing simulates occlusion, not missing annotation)."""
+
+    def __init__(self, p=0.5, scale=(0.02, 0.33), ratio=(0.3, 3.3), value=0.0,
+                 rng: Optional[np.random.Generator] = None):
+        self.p = p
+        self.scale = scale
+        self.ratio = ratio
+        self.value = value
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, sample: Dict) -> Dict:
+        import math
+
+        if self.rng.random() >= self.p:
+            return sample
+        img = np.array(sample["left"], np.float32, copy=True)
+        h_img, w_img = img.shape[:2]
+        area = h_img * w_img
+        for _ in range(10):
+            target_area = float(self.rng.uniform(*self.scale)) * area
+            aspect = math.exp(float(self.rng.uniform(
+                math.log(self.ratio[0]), math.log(self.ratio[1]))))
+            eh = int(round(math.sqrt(target_area * aspect)))
+            ew = int(round(math.sqrt(target_area / aspect)))
+            if eh < h_img and ew < w_img:
+                y0 = int(self.rng.integers(0, h_img - eh + 1))
+                x0 = int(self.rng.integers(0, w_img - ew + 1))
+                if self.value == "random":
+                    img[y0:y0 + eh, x0:x0 + ew] = self.rng.uniform(
+                        0, 255, (eh, ew) + img.shape[2:])
+                else:
+                    img[y0:y0 + eh, x0:x0 + ew] = self.value
+                break
+        out = dict(sample)
+        out["left"] = img
+        return out

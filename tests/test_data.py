@@ -154,3 +154,94 @@ def test_acdc_label_encoding_roundtrip():
     assert color[0, 0].tolist() == [128, 64, 128]  # road color
     assert ACDC.convert_color_to_eval_id((128, 64, 128)) == 0
     assert ACDC.convert_color_to_eval_id((0, 0, 0)) == 255
+
+
+def test_generate_city_lost_filelists(tmp_path, monkeypatch):
+    """city_lost generator (the reference loader reads these lists but the
+    reference repo never shipped them or a generator): walks a Cityscapes +
+    Lost&Found root and emits stereo-format lines consumable by the loaders."""
+    import sys
+    sys.path.insert(0, "scripts")
+    try:
+        from generate_filenames import generate_city_lost
+    finally:
+        sys.path.remove("scripts")
+
+    root = tmp_path / "city_lost"
+    for sub, gt_dir, suffix, city in [
+            ("cityscapes", "gtFine", "_gtFine_labelIds.png", "aachen"),
+            ("lostandfound", "gtCoarse", "_gtCoarse_labelIds.png", "01_Hanns")]:
+        for i in range(3):
+            base = f"{city}_{i:06d}_000019"
+            left = root / sub / "leftImg8bit" / "train" / city / f"{base}_leftImg8bit.png"
+            left.parent.mkdir(parents=True, exist_ok=True)
+            left.write_bytes(b"png")
+    out = tmp_path / "lists"
+    generate_city_lost(str(root), str(out), debug_dir=str(tmp_path / "debug"))
+
+    lines = (out / "city_lost_train.txt").read_text().strip().split("\n")
+    assert len(lines) == 6  # 3 cityscapes + 3 lost&found
+    for ln in lines:
+        parts = ln.split()
+        assert len(parts) == 4  # left right disparity gt
+        assert "leftImg8bit" in parts[0] and "rightImg8bit" in parts[1]
+    assert sum("gtCoarse" in ln for ln in lines) == 3
+    lf = (out / "lostfound_train.txt").read_text().strip().split("\n")
+    assert len(lf) == 3
+    assert (tmp_path / "debug" / "city_lost_train_debug.txt").exists()
+
+
+def test_shipped_manifests_parse():
+    """The checked-in filenames/ manifests must parse in the loaders' line
+    formats (acdc: rgb weather [gt]; cityscapes stereo: left right disp gt)."""
+    import os
+
+    for path, n_parts in [("filenames/acdc/acdc_train_small.txt", 3),
+                          ("filenames/cityscapes/cityscapes_semantic_val.txt", 4)]:
+        assert os.path.isfile(path), path
+        with open(path) as fh:
+            lines = [ln.strip() for ln in fh if ln.strip()]
+        assert len(lines) > 10
+        for ln in lines[:20]:
+            assert len(ln.split()) == n_parts, (path, ln)
+    with open("filenames/acdc/acdc_train_small.txt") as fh:
+        weathers = {ln.split()[1] for ln in fh if ln.strip()}
+    assert weathers <= {"fog", "night", "rain", "snow"}
+
+
+def test_torchvision_fork_transforms():
+    """RandomResizedCrop / RandomAffine / RandomErasing / RandomVerticalFlip
+    (reference torchvision-fork, custom_transforms.py:769-1460): joint
+    image+label geometry, ignore-id fill, erase-after-ToArrays."""
+    from doubly_contrastive_semseg_tpu.data import (
+        RandomAffine, RandomErasing, RandomResizedCrop, RandomVerticalFlip)
+
+    rng = np.random.default_rng(3)
+    s = _sample(64, 80)
+
+    rrc = RandomResizedCrop((32, 32), rng=np.random.default_rng(0))
+    out = rrc(dict(s))
+    assert out["left"].size == (32, 32) and out["label"].size == (32, 32)
+    # labels stay a valid id set (NEAREST, no blending)
+    assert set(np.unique(np.asarray(out["label"]))) <= set(range(5)) | {255}
+
+    aff = RandomAffine(degrees=20, translate=(0.2, 0.2), scale=(0.8, 1.2),
+                       shear=5, ignore_id=255, rng=np.random.default_rng(1))
+    out = aff(dict(s))
+    assert out["left"].size == s["left"].size
+    lbl = np.asarray(out["label"])
+    assert set(np.unique(lbl)) <= set(range(5)) | {255}
+    assert (lbl == 255).any()  # out-of-canvas area filled with ignore id
+
+    vf = RandomVerticalFlip(p=1.0)
+    out = vf(dict(s))
+    np.testing.assert_array_equal(np.asarray(out["left"])[::-1],
+                                  np.asarray(s["left"]))
+
+    arrs = ToArrays()(dict(s))
+    er = RandomErasing(p=1.0, value=0.0, rng=np.random.default_rng(2))
+    out = er(dict(arrs))
+    diff = (out["left"] != arrs["left"])
+    assert diff.any()               # something was erased
+    assert (out["left"][diff.any(-1)] == 0).all()
+    np.testing.assert_array_equal(out["label"], arrs["label"])  # label untouched
