@@ -37,3 +37,22 @@ def create_train_state(model, cfg, tx: optax.GradientTransformation,
     opt_state = tx.init(params)
     return TrainState(params=params, batch_stats=batch_stats,
                       opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+
+
+def init_state_and_optimizer(model, cfg, sample_batch, rng, steps_per_epoch):
+    """Two-phase init in one place: params first (optimizer param-group
+    labels need their tree structure, utils/params.py), then the per-group
+    optimizer, then the final TrainState. Returns (state, tx)."""
+    from ..utils import label_params_for_optimizer
+    from .optimizer import build_optimizer
+
+    class _NullTx:
+        def init(self, params):
+            return ()
+
+    tmp = create_train_state(model, cfg, _NullTx(), sample_batch, rng)
+    labels = label_params_for_optimizer(tmp.params, cfg)
+    tx = build_optimizer(cfg, labels, steps_per_epoch)
+    state = TrainState(params=tmp.params, batch_stats=tmp.batch_stats,
+                       opt_state=tx.init(tmp.params), step=tmp.step)
+    return state, tx

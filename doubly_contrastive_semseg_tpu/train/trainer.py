@@ -31,10 +31,10 @@ from ..data.weights import load_or_compute_class_weights
 from ..metrics import Evaluator, TimeAverageMeter
 from ..models import build_model
 from ..parallel import make_mesh, replicate_sharding, shard_batch
-from ..utils import Saver, SummaryWriter, count_parameters, label_params_for_optimizer, setup_logger
+from ..utils import Saver, SummaryWriter, count_parameters, setup_logger
 from .checkpoints import CheckpointManager
-from .optimizer import build_optimizer
-from .state import TrainState, create_train_state
+from .optimizer import build_lr_schedule
+from .state import TrainState, init_state_and_optimizer
 from .steps import init_eval_accum, make_eval_step, make_train_step
 
 
@@ -73,15 +73,10 @@ class Trainer:
         steps_per_epoch = max(1, len(self.train_loader))
         sample_batch = self._sample_batch()
         rng = jax.random.PRNGKey(cfg.random_seed)
-        # two-phase init: labels need params, optimizer needs labels
-        tmp_state = create_train_state(
-            self.model, cfg, _NullTx(), sample_batch, rng)
-        param_labels = label_params_for_optimizer(tmp_state.params, cfg)
-        self.tx = build_optimizer(cfg, param_labels, steps_per_epoch)
-        self.state = TrainState(
-            params=tmp_state.params, batch_stats=tmp_state.batch_stats,
-            opt_state=self.tx.init(tmp_state.params), step=tmp_state.step)
+        self.state, self.tx = init_state_and_optimizer(
+            self.model, cfg, sample_batch, rng, steps_per_epoch)
         self.state = jax.device_put(self.state, replicate_sharding(self.mesh))
+        self._lr_schedule = build_lr_schedule(cfg, steps_per_epoch)
 
         # ImageNet / reference-checkpoint weight import (--pretrained <path>;
         # reference loads torchvision weights at model build, resnet_pyramid.py:397-405)
@@ -240,10 +235,7 @@ class Trainer:
                                self.cur_epochs)
 
     def _current_lr(self) -> float:
-        from .optimizer import build_lr_schedule
-
-        sched = build_lr_schedule(self.cfg, max(1, len(self.train_loader)))
-        return float(sched(int(self.state.step)))
+        return float(self._lr_schedule(int(self.state.step)))
 
     def _write_loss_summaries(self, metrics: Dict) -> None:
         """Per-criterion scalar families (reference trainer.py:234-290)."""
@@ -406,10 +398,6 @@ class Trainer:
             store = Image.fromarray(np.concatenate(pieces, axis=0))
             store.thumbnail((720, 720))
             store.save(os.path.join(root, "overall", f"{img_id}_overall.png"))
-
-
-class _NullTx:
-    """Placeholder optimizer for the params-first init phase."""
 
     def init(self, params):
         return ()
