@@ -51,7 +51,11 @@ def run_bench(height: int, width: int, batch_size: int, iters: int,
 
     from doubly_contrastive_semseg_tpu.ops.input_pipeline import s2d_pack
 
+    # uint8 pixel data is exact in bf16 (8 mantissa bits cover 0..255);
+    # feeding bf16 halves the normalize pass's input read traffic
     x_host = s2d_pack(np.ones((batch_size, height, width, 3), np.float32))
+    if dtype == "bfloat16":
+        x_host = x_host.astype(jnp.bfloat16)
     x = jax.device_put(jnp.asarray(x_host), device)
 
     from doubly_contrastive_semseg_tpu.models.serving import make_serving_fn

@@ -166,6 +166,8 @@ class Config:
     train_weather_clf: bool = False  # likewise the weather classifier (init_trainer.py:160-177 optimizes self.model only)
     run_root: str = "run"
     host_augment: bool = True  # host PIL/cv2 pipeline (reference semantics); False = on-device augmentation
+    synthetic_size: int = 64   # synthetic dataset: #train samples
+    synthetic_hw: str = "128x160"  # synthetic dataset: generated frame HxW
 
     # -- derived (filled by finalize())
     experiment_dir: Optional[str] = None
@@ -215,8 +217,11 @@ class Config:
         (reference dataloaders/utils.py:110-112); small for the synthetic
         CI dataset."""
         if self.dataset == "synthetic":
-            return (96, 96)
-        return (768, 768)
+            h = int(self.synthetic_hw.split("x")[0])
+            # tiny CI frames get tiny crops; ACDC-sized synthetic frames
+            # (--synthetic_hw 1088x1920) use the published 768² recipe so
+            # epoch timing is measured at the real training shape
+            return (96, 96) if h < 768 else (768, 768)
 
     @property
     def val_wh(self) -> Tuple[int, int]:
@@ -334,6 +339,8 @@ def build_parser() -> argparse.ArgumentParser:
     _add_bool_flag(p, "train_weather_clf", False)
     p.add_argument("--run_root", type=str, default=d.run_root)
     _add_bool_flag(p, "host_augment", True)
+    p.add_argument("--synthetic_size", type=int, default=d.synthetic_size)
+    p.add_argument("--synthetic_hw", type=str, default=d.synthetic_hw)
     return p
 
 

@@ -125,7 +125,7 @@ def get_dataset(cfg, seed: int = 0):
         return train_dst, val_dst
 
     if cfg.dataset == "synthetic":
-        hw = (128, 160)  # (h, w) of the generated frames
+        hw = tuple(int(v) for v in cfg.synthetic_hw.split("x"))  # (h, w)
         crop = cfg.crop_wh
         train_rng = np.random.default_rng(seed)
         if cfg.host_augment:
@@ -142,7 +142,7 @@ def get_dataset(cfg, seed: int = 0):
         else:
             train_t = Compose([ToArrays()])
         val_t = Compose([FixedResize((hw[1], hw[0])), ToArrays()])
-        size = 8 if cfg.debug else 64
+        size = 8 if cfg.debug else cfg.synthetic_size
         train_dst = SyntheticDataset(size=size, image_hw=hw,
                                      num_classes=cfg.num_classes,
                                      weather_num=cfg.weather_num,

@@ -18,6 +18,21 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# The suite is compile-bound (single-core CPU image). Two mitigations:
+# a persistent compilation cache (best-effort; XLA:CPU only serializes some
+# executables) and, unless NO_FAST_COMPILE is set, skipping most XLA
+# optimization passes — tests assert numerics, not performance, and the
+# golden values hold without the optimizer (pure f32 math either way).
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_compile_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:  # older jax without some knobs — cache is best-effort
+    pass
+if not os.environ.get("NO_FAST_COMPILE"):
+    jax.config.update("jax_disable_most_optimizations", True)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
