@@ -160,12 +160,12 @@ class PyramidResNet(nn.Module):
         stem_kernel = _StemKernel((k_s2d, k_s2d, 12, 64), name="conv1")()
         stem_bns = [_StemBN(dtype=self.dtype, name=f"bn1_{i}")
                     for i in range(self.pyramid_levels)]
-        # NOTE: a fused Pallas stem kernel exists (ops/stem_pallas.py) but
-        # measured slower than XLA's conv at these shapes (per-program
-        # overhead × 512 tiles + the kb-copy read amplification) — the XLA
-        # path below is the production one.
-        use_pallas_stem = False
-
+        # Stem kernel history: a fused Pallas stem (round 1) and a W-folded
+        # MXU form (round 2, kernel (4,3,96,512)) were both measured against
+        # XLA's plain lowering of the 4×4/s1 12→64 conv — XLA ties or wins
+        # at every pyramid level (8.2 vs 7.9 ms at L0 batch-8; the conv is
+        # utilization-bound either way). The plain conv below IS the tuned
+        # form; don't re-litigate without beating it end to end.
         stage_planes = (64, 128, 256, 512)
         stages = []
         for si, (planes, n_blocks) in enumerate(zip(stage_planes, self.layers)):
@@ -186,27 +186,12 @@ class PyramidResNet(nn.Module):
         skips: Dict[int, list] = {lvl: [] for lvl in range(num_skips)}
         additional: Dict[str, Any] = {"pyramid": pyramid}
 
-        s2d_planar = None
-        if use_pallas_stem:
-            from ..ops.input_pipeline import s2d_planar_from_image
-
-            # level 0 dominates stem cost; its fused kernel wants planar s2d
-            s2d_planar = s2d_planar_from_image(image, self.mean, self.std,
-                                               self.dtype)
-
         for idx, p in enumerate(pyramid):  # p is already the s2d stem input
-            if use_pallas_stem and idx == 0:
-                from ..ops.stem_pallas import fused_stem
-
-                s, bb, m, v = stem_bns[idx](None)
-                x = fused_stem(s2d_planar, stem_kernel, s, bb, m, v,
-                               out_dtype=self.dtype)
-            else:
-                x = jax.lax.conv_general_dilated(
-                    p, stem_kernel.astype(p.dtype), (1, 1), [pad_s2d, pad_s2d],
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
-                x = stem_bns[idx](x, train=train)
-                x = nn.relu(x)
+            x = jax.lax.conv_general_dilated(
+                p, stem_kernel.astype(p.dtype), (1, 1), [pad_s2d, pad_s2d],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            x = stem_bns[idx](x, train=train)
+            x = nn.relu(x)
             x = max_pool_3x3_s2(x)
             for j, blocks in enumerate(stages):
                 for blk in blocks:

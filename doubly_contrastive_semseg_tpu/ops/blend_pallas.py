@@ -7,7 +7,7 @@ the pre-conv activation in HBM. NHWC decoder activations keep channels on the
 lane axis, so the 3×3 contraction runs as 9 accumulated (N,128)·(128,128)
 MXU dots over sublane/major-shifted views of the fused tile.
 
-Layout rules baked in (same family as ops/stem_pallas.py):
+Layout rules baked in (same family as the retired Pallas stem):
 - DMA row windows must be sublane-aligned → tiles are 8 output rows reading
   aligned (tile+8)-row skip slabs and (tile/2+8)-row x slabs of top-padded
   copies;

@@ -346,22 +346,6 @@ def fused_pyramid_s2d(image: jax.Array, levels: int,
     return outs
 
 
-def s2d_planar_from_image(image: jax.Array, mean, std,
-                          dtype=jnp.bfloat16) -> jax.Array:
-    """Normalized level-0 s2d in planar layout (B, 12, H/2, W/2) — the input
-    of the fused Pallas stem (``ops/stem_pallas.py``), whose HBM slabs must
-    be channel-on-sublane to be DMA-sliceable."""
-    if is_planar_image(image):
-        image = image.transpose(0, 2, 3, 1)
-    b, h, w, c = image.shape
-    mean_a = jnp.asarray(mean, jnp.float32)
-    std_a = jnp.asarray(std, jnp.float32)
-    xn = ((image - mean_a) / std_a).astype(dtype)
-    xr = xn.reshape(b, h // 2, 2, w // 2, 2, c)
-    # (b, c, i, j, h2, w2) → channel order c*4 + i*2 + j
-    return xr.transpose(0, 5, 2, 4, 1, 3).reshape(b, 4 * c, h // 2, w // 2)
-
-
 def upsample4x_argmax(logits_nhwc: jax.Array) -> jax.Array:
     """argmax over classes of the ×4 bilinear-upsampled logits, computed in
     planar layout so the channel reduction runs over full lanes.
