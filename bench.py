@@ -80,12 +80,15 @@ def run_bench(height: int, width: int, batch_size: int, iters: int,
 
     # throughput protocol: enqueue K batches, fence the last. The TPU
     # executes dispatches in order, so the window covers all K forwards plus
-    # one host↔device latency (amortized by K). Per-frame *latency* is a
-    # separate single-fenced measurement reported on stderr.
-    t0 = time.perf_counter()
-    outs = [forward(params, batch_stats, x) for _ in range(iters)]
-    fence(outs[-1])
-    mean_t = (time.perf_counter() - t0) / iters
+    # one host↔device latency (amortized by K). Best of 3 windows: the
+    # tunnel adds multi-ms jitter that a single window can eat. Per-frame
+    # *latency* is a separate single-fenced measurement on stderr.
+    mean_t = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [forward(params, batch_stats, x) for _ in range(iters)]
+        fence(outs[-1])
+        mean_t = min(mean_t, (time.perf_counter() - t0) / iters)
 
     t1 = time.perf_counter()
     fence(forward(params, batch_stats, x))
@@ -99,7 +102,7 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true", help="small shape smoke run")
     p.add_argument("--batch_size", type=int, default=0, help="0 = auto-pick")
-    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--iters", type=int, default=50)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     args = p.parse_args()
