@@ -166,6 +166,7 @@ class Config:
     train_weather_clf: bool = False  # likewise the weather classifier (init_trainer.py:160-177 optimizes self.model only)
     run_root: str = "run"
     host_augment: bool = True  # host PIL/cv2 pipeline (reference semantics); False = on-device augmentation
+    loader: str = "thread"     # input pipeline: thread (prefetch pool) | grain (deterministic + checkpointable iterators)
     synthetic_size: int = 64   # synthetic dataset: #train samples
     synthetic_hw: str = "128x160"  # synthetic dataset: generated frame HxW
 
@@ -339,6 +340,7 @@ def build_parser() -> argparse.ArgumentParser:
     _add_bool_flag(p, "train_weather_clf", False)
     p.add_argument("--run_root", type=str, default=d.run_root)
     _add_bool_flag(p, "host_augment", True)
+    p.add_argument("--loader", type=str, default=d.loader, choices=["thread", "grain"])
     p.add_argument("--synthetic_size", type=int, default=d.synthetic_size)
     p.add_argument("--synthetic_hw", type=str, default=d.synthetic_hw)
     return p

@@ -49,11 +49,13 @@ class Trainer:
 
         # --- data (init_trainer.py:79-95)
         self.train_dst, self.val_dst = get_dataset(cfg, seed=cfg.random_seed)
-        self.train_loader = DataLoader(
-            self.train_dst, cfg.batch_size, shuffle=True,
+        from ..data.grain_loader import make_loader
+
+        self.train_loader = make_loader(
+            cfg.loader, self.train_dst, cfg.batch_size, shuffle=True,
             num_workers=cfg.num_workers, drop_last=True, seed=cfg.random_seed)
-        self.val_loader = DataLoader(
-            self.val_dst, cfg.val_batch_size, shuffle=False,
+        self.val_loader = make_loader(
+            cfg.loader, self.val_dst, cfg.val_batch_size, shuffle=False,
             num_workers=cfg.num_workers)
         logging.info("Dataset: %s, Train set: %d, Val set: %d",
                      cfg.dataset, len(self.train_dst), len(self.val_dst))

@@ -245,3 +245,31 @@ def test_torchvision_fork_transforms():
     assert diff.any()               # something was erased
     assert (out["left"][diff.any(-1)] == 0).all()
     np.testing.assert_array_equal(out["label"], arrs["label"])  # label untouched
+
+
+def test_grain_loader_matches_thread_loader_interface():
+    """--loader grain: deterministic per-epoch order, two-crop collation, and
+    a serializable mid-epoch iterator state (what the threaded loader can't
+    do; grain's checkpointable-iterator surface)."""
+    pytest.importorskip("grain")
+    from doubly_contrastive_semseg_tpu.data import SyntheticDataset, TwoCropTransform
+    from doubly_contrastive_semseg_tpu.data.grain_loader import GrainDataLoader
+    from doubly_contrastive_semseg_tpu.data.transforms import Compose, ToArrays
+
+    t = TwoCropTransform(Compose([ToArrays()]))
+    ds = SyntheticDataset(size=9, image_hw=(32, 40), transform=t)
+    dl = GrainDataLoader(ds, batch_size=4, shuffle=True, drop_last=True, seed=5)
+    batches = list(dl)
+    assert len(batches) == len(dl) == 2
+    assert batches[0]["left"].shape == (8, 32, 40, 3)  # two-crop concat
+    assert batches[0]["label"].shape == (4, 32, 40)
+
+    # same epoch → same order; next epoch → reshuffled
+    again = list(dl)
+    np.testing.assert_array_equal(batches[0]["left"], again[0]["left"])
+    dl.set_epoch(1)
+    other = list(dl)
+    assert not np.array_equal(batches[0]["left"], other[0]["left"])
+
+    state = dl.get_state()
+    assert state  # serializable mid-epoch position
