@@ -273,3 +273,22 @@ def test_grain_loader_matches_thread_loader_interface():
 
     state = dl.get_state()
     assert state  # serializable mid-epoch position
+
+
+def test_labels_table_consistency():
+    """data/labels.py (reference cityscapes_labels.py helper): the structured
+    table must agree with the derived per-dataset tables used everywhere."""
+    from doubly_contrastive_semseg_tpu.data import labels
+    from doubly_contrastive_semseg_tpu.data.acdc import (
+        CITYSCAPES_ID_TO_TRAIN_ID, TRAIN_ID_TO_COLOR)
+    from doubly_contrastive_semseg_tpu.metrics.evaluator import (
+        CITYSCAPES_CLASS_NAMES)
+
+    np.testing.assert_array_equal(labels.ID_TO_TRAIN_ID,
+                                  np.asarray(CITYSCAPES_ID_TO_TRAIN_ID))
+    np.testing.assert_array_equal(labels.TRAIN_ID_TO_COLOR[:19],
+                                  np.asarray(TRAIN_ID_TO_COLOR)[:19])
+    assert labels.TRAIN_ID_TO_NAME == tuple(CITYSCAPES_CLASS_NAMES)[:19]
+    enc = labels.encode_target(np.array([[7, 8, 0]]))
+    np.testing.assert_array_equal(enc, [[0, 1, 255]])
+    assert labels.decode_target(np.array([[0]])).tolist() == [[[128, 64, 128]]]
