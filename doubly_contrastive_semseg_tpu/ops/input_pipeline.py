@@ -250,6 +250,40 @@ def _cell_phase_perm(c: int, dy: int = None, dx: int = None) -> np.ndarray:
     return perm
 
 
+def _merged_level12_kernel(c: int = 3, fold: int = _CHAIN_FOLD) -> np.ndarray:
+    """Levels 1 AND 2 as ONE stride-(4, 1) conv over the clamp-padded,
+    W-folded level-0 tensor.
+
+    Separately, the W-folded level kernels run at poor MXU utilization
+    (48 / 24 output channels against 128 lanes). Each stride-4 row block of
+    the padded input contains everything both levels need: level-1 output
+    cell rows 2A and 2A+1 read padded rows 4A+0..5 (kernel rows 2r + o),
+    level-2 output cell row A reads padded rows 4A+1..4 — so one kernel
+    (6, 3, fold·cc, 10·cc) emits [2 level-1 row-phases × 4 cols | 2 level-2
+    cols] = 120 output channels (94% lane use) in a single pass over the
+    input. Outputs un-fold with one cheap (…, 2, Wf, …) transpose for
+    level 1 and a free reshape for level 2."""
+    cc = 4 * c
+    k1 = _direct_level_kernel(1, c)  # (4, 4, cc, cc); indices include pad 1
+    k2 = _direct_level_kernel(2, c)  # (4, 4, cc, cc); no padding
+    K = np.zeros((6, 3, fold * cc, 10 * cc), np.float32)
+    for r in range(2):              # level-1 out cell row within the pair
+        for ka in range(4):
+            for q in range(4):      # level-1 out cell col within the fold
+                for cb in range(4):
+                    pos = 2 * q + cb + fold - 1   # cb includes the +1 pad
+                    kb, ph = pos // fold, pos % fold
+                    K[2 * r + ka, kb, ph * cc:(ph + 1) * cc,
+                      (r * 4 + q) * cc:(r * 4 + q + 1) * cc] += k1[ka, cb]
+    for ka in range(4):             # level 2: rows 4A+1..4, center folded col
+        for q2 in range(2):
+            for cb in range(4):
+                ph = 4 * q2 + cb
+                K[1 + ka, 1, ph * cc:(ph + 1) * cc,
+                  (8 + q2) * cc:(8 + q2 + 1) * cc] += k2[ka, cb]
+    return K
+
+
 def _clamp_pad(x: jax.Array, c: int, w_left: int, w_right: int) -> jax.Array:
     """Pad cells (1, 2) in H and (w_left, w_right) in W with torch's
     per-PIXEL clamp semantics: the top pad cell must read row 0 (phase
@@ -310,7 +344,24 @@ def fused_pyramid_s2d(image: jax.Array, levels: int,
     cc = 4 * c
     fold = _CHAIN_FOLD
     outs = [s0]
-    b = s0.shape[0]
+    b, h2, w2 = s0.shape[0], s0.shape[1], s0.shape[2]
+    Wf = w2 // fold if w2 % fold == 0 else 0
+
+    if levels == 3 and Wf and h2 % 4 == 0 and (w2 // 2) % 4 == 0:
+        # one merged pass for levels 1+2 (see _merged_level12_kernel)
+        K = jnp.asarray(_merged_level12_kernel(c, fold), dtype)
+        P = _clamp_pad(s0, c, fold, fold)
+        Pf = P.reshape(b, h2 + 3, Wf + 2, fold * cc)
+        y = jax.lax.conv_general_dilated(
+            Pf, K, (4, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32).astype(dtype)
+        h4 = h2 // 4
+        y1 = y[..., :8 * cc].reshape(b, h4, Wf, 2, 4 * cc)
+        y1 = jnp.transpose(y1, (0, 1, 3, 2, 4)).reshape(b, h2 // 2, w2 // 2, cc)
+        y2 = y[..., 8 * cc:].reshape(b, h4, w2 // 4, cc)
+        return [s0, y1, y2]
+
     for lv in range(1, levels):
         h2, w2 = s0.shape[1], s0.shape[2]
         s = 2 ** lv
