@@ -14,7 +14,7 @@ The ASPP/DeepLabHeadV3Plus duplicates in that file are the live versions in
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +23,7 @@ from flax import linen as nn
 from ..ops.interpolate import resize_bilinear
 from .blocks import batch_norm
 from .deeplab import ASPP
-from .stereo_extras import _BasicConv, _Conv2x
+from .stereo_extras import _BasicConv
 
 Dtype = Any
 

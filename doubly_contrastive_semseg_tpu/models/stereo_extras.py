@@ -23,7 +23,7 @@ config fields; ``REFINE_NEW_VARIANTS`` instantiates each published variant
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ feature.py:217-497) expressed as ONE module with a ``decoder`` switch.
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +22,7 @@ from flax import linen as nn
 from ..ops.deform_conv import DeformConv2d
 from ..ops.interpolate import resize_bilinear
 from .backbones.mobilenetv2 import ConvBNReLU6, InvertedResidual
-from .blocks import batch_norm, conv_kxk
+from .blocks import batch_norm
 from .stereo_extras import _BasicConv, _Conv2x
 
 Dtype = Any
