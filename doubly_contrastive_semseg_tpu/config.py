@@ -167,6 +167,7 @@ class Config:
     run_root: str = "run"
     host_augment: bool = True  # host PIL/cv2 pipeline (reference semantics); False = on-device augmentation
     loader: str = "thread"     # input pipeline: thread (prefetch pool) | grain (deterministic + checkpointable iterators)
+    trace: bool = False        # capture a jax.profiler device trace of the first epoch
     synthetic_size: int = 64   # synthetic dataset: #train samples
     synthetic_hw: str = "128x160"  # synthetic dataset: generated frame HxW
 
@@ -341,6 +342,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--run_root", type=str, default=d.run_root)
     _add_bool_flag(p, "host_augment", True)
     p.add_argument("--loader", type=str, default=d.loader, choices=["thread", "grain"])
+    _add_bool_flag(p, "trace", False)
     p.add_argument("--synthetic_size", type=int, default=d.synthetic_size)
     p.add_argument("--synthetic_hw", type=str, default=d.synthetic_hw)
     return p

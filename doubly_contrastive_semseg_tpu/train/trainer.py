@@ -186,6 +186,19 @@ class Trainer:
     def train(self) -> None:
         cfg = self.cfg
         logging.info("training...")
+        if cfg.trace and self.cur_epochs == cfg.start_epoch:
+            # --trace: capture a device profile of the first epoch
+            # (tensorboard --logdir <experiment_dir>/profile → Profile tab)
+            from ..utils.profiling import trace as profiler_trace
+
+            with profiler_trace(os.path.join(self.saver.experiment_dir,
+                                             "profile")):
+                self._train_epoch()
+            return
+        self._train_epoch()
+
+    def _train_epoch(self) -> None:
+        cfg = self.cfg
         self.train_loader.set_epoch(self.cur_epochs)
         num_img_tr = len(self.train_loader)
         interval_loss, print_cycle, data_cycle = 0.0, 0.0, 0.0
