@@ -33,12 +33,10 @@ pytestmark = pytest.mark.skipif(
     reason="reference repo not available")
 
 
-def build_reference_weathernet():
-    """Reference WeatherNet-RN18, random-init (model_zoo stubbed out: zero
-    egress), BN running stats populated by two train-mode forwards."""
-    # torchvision is not in the image; the reference's import chain only needs
-    # transforms.functional.normalize at import time (utils/utils.py:1) — stub
-    # it so /root/reference loads untouched.
+def _install_torchvision_stubs():
+    """torchvision is not in the image; the reference's import chain touches a
+    handful of its symbols at import time — stub them so /root/reference
+    loads untouched."""
     if "torchvision" not in sys.modules:
         tv = types.ModuleType("torchvision")
         tv_t = types.ModuleType("torchvision.transforms")
@@ -74,6 +72,11 @@ def build_reference_weathernet():
         ]:
             sys.modules[name] = mod
 
+
+def build_reference_weathernet():
+    """Reference WeatherNet-RN18, random-init (model_zoo stubbed out: zero
+    egress), BN running stats populated by two train-mode forwards."""
+    _install_torchvision_stubs()
     sys.path.insert(0, REFERENCE)
     try:
         import network.backbone.resnet_pyramid as ref_pyr
@@ -189,3 +192,50 @@ def test_serving_path_matches_reference(reference_weathernet, tmp_path):
             fn({"params": params, "batch_stats": stats}, xj)).astype(np.int64)
     assert labels.shape == labels_ref.shape
     assert (labels == labels_ref).mean() == 1.0
+
+
+def test_resnet34_forward_parity(tmp_path):
+    """Same oracle for the resnet34 trunk (layers (3,4,6,3)) — exercises the
+    converter's block enumeration beyond rn18."""
+    import torch as _torch
+
+    _install_torchvision_stubs()
+    sys.path.insert(0, REFERENCE)
+    try:
+        import network.backbone.resnet_pyramid as ref_pyr
+        import network.weathernet as ref_wn
+
+        orig = ref_pyr.model_zoo.load_url
+        ref_pyr.model_zoo.load_url = lambda *a, **k: {}
+        try:
+            _torch.manual_seed(1)
+            model = ref_wn.WeatherNet(types.SimpleNamespace(), num_classes=19,
+                                      backbone="resnet34", train_semantic=True)
+        finally:
+            ref_pyr.model_zoo.load_url = orig
+        model.eval()
+    finally:
+        sys.path.remove(REFERENCE)
+
+    ckpt = str(tmp_path / "rn34.pth")
+    _torch.save({"model_state": model.state_dict()}, ckpt)
+    g = _torch.Generator().manual_seed(3)
+    x = _torch.rand((1, 3, 128, 128), generator=g) * 255.0
+    with _torch.no_grad():
+        seg_ref, *_ = model(x)
+
+    from doubly_contrastive_semseg_tpu.models import DCSSModel
+    from doubly_contrastive_semseg_tpu.utils.torch_convert import load_pretrained
+
+    m = DCSSModel(backbone="resnet34", num_classes=19, weather_num=4,
+                  dtype=jnp.float32)
+    xj = jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))
+    v = m.init(jax.random.PRNGKey(0), xj, train=False)
+    params, stats, n = load_pretrained(v["params"], v["batch_stats"], ckpt)
+    assert n > 150, f"only {n} tensors imported"
+    with jax.default_matmul_precision("highest"):
+        out = m.apply({"params": params, "batch_stats": stats}, xj, train=False)
+    seg = np.transpose(np.asarray(out["seg"]), (0, 3, 1, 2))
+    scale = max(np.abs(seg_ref.numpy()).max(), 1.0)
+    assert np.abs(seg - seg_ref.numpy()).max() / scale < 2e-4
+    assert (seg.argmax(1) == seg_ref.numpy().argmax(1)).mean() == 1.0
