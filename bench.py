@@ -105,6 +105,8 @@ def main() -> None:
     p.add_argument("--iters", type=int, default=50)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--height", type=int, default=0, help="override frame height")
+    p.add_argument("--width", type=int, default=0, help="override frame width")
     args = p.parse_args()
 
     if args.quick:
@@ -117,6 +119,8 @@ def main() -> None:
         # keeps the driver's bench run short
         candidates = [args.batch_size] if args.batch_size else [8]
         iters, warmup = args.iters, args.warmup
+    if args.height and args.width:
+        h, w = args.height, args.width
 
     best = 0.0
     for bs in candidates:
