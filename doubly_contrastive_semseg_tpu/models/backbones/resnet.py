@@ -73,12 +73,18 @@ class DilatedResNet(nn.Module):
         stage_planes = (64, 128, 256, 512)
         for si, (planes, n_blocks) in enumerate(zip(stage_planes, self.layers)):
             stride = 1 if si == 0 else 2
+            # torchvision convention: when a stage's stride is replaced, the
+            # FIRST block's 3×3 conv keeps the PREVIOUS dilation; only the
+            # remaining blocks use the doubled one (torchvision _make_layer;
+            # proven against the reference oracle in tests)
+            prev_dilation = dilation
             if si > 0 and self.replace_stride_with_dilation[si - 1]:
                 dilation *= stride
                 stride = 1
             for bi in range(n_blocks):
                 x = Bottleneck(planes=planes, stride=stride if bi == 0 else 1,
-                               dilation=dilation, dtype=self.dtype,
+                               dilation=prev_dilation if bi == 0 else dilation,
+                               dtype=self.dtype,
                                name=f"layer{si + 1}_{bi}")(x, train)
             if si == 0:
                 out["low_level"] = x  # 256 ch @ 1/4

@@ -138,6 +138,12 @@ class DeepLabDCSS(nn.Module):
     weather_num: int = 4
     output_stride: int = 16
     separable: bool = False
+    # the reference's deeplab path feeds RAW 0-255 pixels into the trunk
+    # (no in-model normalization, network/utils.py:166-194 — unlike
+    # WeatherNet). We normalize by default (the sane fix) but imported
+    # reference-trained deeplab checkpoints need normalize_input=False to
+    # reproduce their training-time input statistics.
+    normalize_input: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -148,10 +154,13 @@ class DeepLabDCSS(nn.Module):
         else:
             rsd, rates = (False, False, True), (6, 12, 18)
 
-        # normalize (same constants the SwiftNet path bakes in)
-        mean = jnp.asarray([73.15, 82.90, 72.3], jnp.float32)
-        std = jnp.asarray([47.67, 48.49, 47.73], jnp.float32)
-        x = ((image - mean) / std).astype(self.dtype)
+        if self.normalize_input:
+            # same constants the SwiftNet path bakes in
+            mean = jnp.asarray([73.15, 82.90, 72.3], jnp.float32)
+            std = jnp.asarray([47.67, 48.49, 47.73], jnp.float32)
+            x = ((image - mean) / std).astype(self.dtype)
+        else:
+            x = image.astype(self.dtype)
 
         from .backbones.resnet import DilatedResNet
 

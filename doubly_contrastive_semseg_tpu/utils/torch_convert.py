@@ -143,6 +143,77 @@ def convert_reference_weathernet(model_state: Dict) -> Tuple[Dict, Dict]:
     return net_params, net_stats
 
 
+def convert_reference_deeplab(model_state: Dict) -> Tuple[Dict, Dict]:
+    """Reference DeepLabV3/V3+ ``model_state`` (``modeling.deeplabv3*_resnet*``,
+    saved by ``trainer.py:407-421``) → (params, batch_stats) for
+    ``DeepLabDCSS``. Covers the torchvision-style dilated-ResNet backbone
+    (bottleneck blocks) and both heads. Import with
+    ``DeepLabDCSS(normalize_input=False)`` — the reference's deeplab path
+    feeds raw pixels (``network/utils.py:166-194``)."""
+    import numpy as np
+
+    params: Dict = {}
+    stats: Dict = {}
+    sd = model_state
+
+    # ---- backbone: torchvision resnet naming under 'backbone.'
+    _set(params, ("backbone", "conv1", "kernel"), _conv_kernel(sd["backbone.conv1.weight"]))
+    _bn_entries(sd, "backbone.bn1", params, stats, ("backbone", "bn1"))
+    block_re = re.compile(r"^backbone\.layer(\d)\.(\d+)\.conv1\.weight$")
+    for key in list(sd):
+        m = block_re.match(key)
+        if not m:
+            continue
+        s, b = m.group(1), m.group(2)
+        tp, fp = f"backbone.layer{s}.{b}", ("backbone", f"layer{s}_{b}")
+        for j in (1, 2, 3):  # bottleneck convs (resnet50/101)
+            wkey = f"{tp}.conv{j}.weight"
+            if wkey in sd:
+                _set(params, fp + (f"conv{j}", "kernel"), _conv_kernel(sd[wkey]))
+                _bn_entries(sd, f"{tp}.bn{j}", params, stats, fp + (f"bn{j}",))
+        if f"{tp}.downsample.0.weight" in sd:
+            _set(params, fp + ("downsample_conv", "kernel"),
+                 _conv_kernel(sd[f"{tp}.downsample.0.weight"]))
+            _bn_entries(sd, f"{tp}.downsample.1", params, stats,
+                        fp + ("downsample_bn",))
+
+    # ---- head. V3+: classifier.{project,aspp,classifier}; V3: classifier.0
+    # is the ASPP, then Sequential conv/bn/relu/conv (reference _deeplab.py)
+    def conv_bn(tp_conv: str, tp_bn: str, path) -> None:
+        if tp_conv in sd:
+            _set(params, path + ("conv", "kernel"), _conv_kernel(sd[tp_conv]))
+            _bn_entries(sd, tp_bn, params, stats, path + ("bn",))
+
+    is_v3plus = "classifier.project.0.weight" in sd
+    aspp_prefix = "classifier.aspp" if is_v3plus else "classifier.0"
+    cls = ("classifier",)
+    conv_bn(f"{aspp_prefix}.convs.0.0.weight", f"{aspp_prefix}.convs.0.1",
+            cls + ("aspp", "conv1x1"))
+    for i in (1, 2, 3):
+        conv_bn(f"{aspp_prefix}.convs.{i}.0.weight", f"{aspp_prefix}.convs.{i}.1",
+                cls + ("aspp", f"aspp_conv{i - 1}"))
+    conv_bn(f"{aspp_prefix}.convs.4.1.weight", f"{aspp_prefix}.convs.4.2",
+            cls + ("aspp", "image_pool"))
+    conv_bn(f"{aspp_prefix}.project.0.weight", f"{aspp_prefix}.project.1",
+            cls + ("aspp", "project"))
+
+    if is_v3plus:
+        conv_bn("classifier.project.0.weight", "classifier.project.1",
+                cls + ("project",))
+        conv_bn("classifier.classifier.0.weight", "classifier.classifier.1",
+                cls + ("fuse",))
+        fkey = "classifier.classifier.3"
+    else:
+        conv_bn("classifier.1.weight", "classifier.2", cls + ("fuse",))
+        fkey = "classifier.4"
+    if f"{fkey}.weight" in sd:
+        _set(params, cls + ("classifier", "kernel"), _conv_kernel(sd[f"{fkey}.weight"]))
+        if f"{fkey}.bias" in sd:
+            _set(params, cls + ("classifier", "bias"),
+                 np.asarray(sd[f"{fkey}.bias"], np.float32))
+    return params, stats
+
+
 def _merge(dst: Dict, src: Dict, path="") -> int:
     """Copy src leaves into dst where path+shape match; returns #loaded."""
     import numpy as np
@@ -176,8 +247,11 @@ def load_pretrained(params: Dict, batch_stats: Dict, path: str) -> Tuple[Dict, D
     blob = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(blob, dict) and "model_state" in blob:
         sd = {k: v.numpy() for k, v in blob["model_state"].items()}
-        p_new, s_new = convert_reference_weathernet(sd)
-        p_new, s_new = {"net": p_new}, {"net": s_new}
+        if any(k.startswith("backbone.") for k in sd):  # deeplab family
+            p_new, s_new = convert_reference_deeplab(sd)
+        else:
+            p_new, s_new = convert_reference_weathernet(sd)
+            p_new, s_new = {"net": p_new}, {"net": s_new}
     else:
         sd = {k: v.numpy() for k, v in blob.items() if hasattr(v, "numpy")}
         p_new, s_new = convert_torchvision_resnet(sd)

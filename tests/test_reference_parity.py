@@ -239,3 +239,55 @@ def test_resnet34_forward_parity(tmp_path):
     scale = max(np.abs(seg_ref.numpy()).max(), 1.0)
     assert np.abs(seg - seg_ref.numpy()).max() / scale < 2e-4
     assert (seg.argmax(1) == seg_ref.numpy().argmax(1)).mean() == 1.0
+
+
+def test_deeplab_forward_parity(tmp_path):
+    """DeepLabV3+-ResNet50 oracle: the reference's alternative model family
+    (``--deeplab``) round-trips through ``convert_reference_deeplab`` with
+    logit-level agreement. The reference feeds raw pixels to this path
+    (network/utils.py:166-194), hence normalize_input=False."""
+    import torch as _torch
+
+    _install_torchvision_stubs()
+    sys.path.insert(0, REFERENCE)
+    try:
+        from network import modeling
+
+        _torch.manual_seed(2)
+        model = modeling.deeplabv3plus_resnet50(
+            types.SimpleNamespace(), num_classes=19, output_stride=16,
+            pretrained_backbone=False)
+        model.train()
+        with _torch.no_grad():
+            for i in range(2):
+                g = _torch.Generator().manual_seed(200 + i)
+                model(_torch.rand((2, 3, 128, 128), generator=g) * 255.0)
+        model.eval()
+    finally:
+        sys.path.remove(REFERENCE)
+
+    ckpt = str(tmp_path / "deeplab.pth")
+    _torch.save({"model_state": model.state_dict()}, ckpt)
+    g = _torch.Generator().manual_seed(5)
+    x = _torch.rand((1, 3, 128, 128), generator=g) * 255.0
+    with _torch.no_grad():
+        seg_ref, seg_before_ref, *_ = model(x)
+
+    from doubly_contrastive_semseg_tpu.models.deeplab import DeepLabDCSS
+    from doubly_contrastive_semseg_tpu.utils.torch_convert import load_pretrained
+
+    m = DeepLabDCSS(arch="deeplabv3plus", backbone="resnet50", num_classes=19,
+                    output_stride=16, normalize_input=False, dtype=jnp.float32)
+    xj = jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))
+    v = m.init({"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1)}, xj, train=False)
+    params, stats, n = load_pretrained(v["params"], v["batch_stats"], ckpt)
+    assert n > 300, f"only {n} tensors imported"
+    with jax.default_matmul_precision("highest"):
+        out = m.apply({"params": params, "batch_stats": stats}, xj, train=False)
+
+    seg = np.transpose(np.asarray(out["seg"]), (0, 3, 1, 2))
+    want = seg_ref.numpy()
+    scale = max(np.abs(want).max(), 1.0)
+    assert np.abs(seg - want).max() / scale < 2e-4
+    assert (seg.argmax(1) == want.argmax(1)).mean() == 1.0
