@@ -1,0 +1,143 @@
+"""Loss-level parity against the reference implementation (deterministic
+losses only — PixelContrast samples anchors randomly and is covered by
+distribution tests in test_losses.py).
+
+Imports ``utils.loss`` from /root/reference as a black-box oracle and
+compares values on identical inputs, including the reference's documented
+deviations (the ``F.normalize(logits)`` stability hack in SupCon)."""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+REFERENCE = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "utils")),
+    reason="reference repo not available")
+
+
+def _ref_losses():
+    from test_reference_parity import _install_torchvision_stubs
+
+    _install_torchvision_stubs()
+    sys.path.insert(0, REFERENCE)
+    try:
+        import utils.loss as ref_loss
+    finally:
+        sys.path.remove(REFERENCE)
+    return ref_loss
+
+
+@pytest.mark.parametrize("criterion,flags", [
+    ("supcon_pixelcontrast_focal", {}),
+    ("plain_focal", {}),
+    ("supcon_focal", {"no_class_weights": True}),
+    ("supcon_focal", {"no_EDT": True}),
+])
+def test_boundary_aware_focal_matches_reference(rng, criterion, flags):
+    ref_loss = _ref_losses()
+    b, c, s = 2, 19, 16
+    logits = rng.standard_normal((b, c, s, s)).astype(np.float32)
+    target = rng.integers(0, c, (b, s, s))
+    target[0, :4, :4] = 255  # ignore region
+    alphas = rng.uniform(0, 1, (b, s, s)).astype(np.float32)
+    alphas[target == 255] = 0.0  # EDT weights are zero at ignore
+    weight = rng.uniform(0.5, 2.0, (c,)).astype(np.float32)
+
+    opts = types.SimpleNamespace(criterion=criterion,
+                                 no_class_weights=flags.get("no_class_weights", False),
+                                 no_EDT=flags.get("no_EDT", False),
+                                 with_depth_level_loss=False)
+    crit = ref_loss.BoundaryAwareFocalLoss(
+        gamma=0.5, num_classes=c, ignore_id=255,
+        weight=torch.tensor(np.concatenate([weight, [0.0] * 237])), device="cpu",
+        opts=opts)
+    want = float(crit(
+        torch.tensor(logits), torch.tensor(target.copy()),  # ref mutates target
+        {"label_distance_weight": torch.tensor(alphas)}))
+
+    from doubly_contrastive_semseg_tpu.losses.focal import boundary_aware_focal_loss
+
+    got = float(boundary_aware_focal_loss(
+        jnp.asarray(np.transpose(logits, (0, 2, 3, 1))),
+        jnp.asarray(target), jnp.asarray(alphas), jnp.asarray(weight),
+        gamma=0.5,
+        mode=("plain_focal" if criterion == "plain_focal" else
+              "no_class_weights" if flags.get("no_class_weights") else
+              "no_EDT" if flags.get("no_EDT") else "full")))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_supcon_and_simclr_match_reference(rng):
+    """SupCon (weather labels) and SimCLR (no labels) values, with the
+    reference's own projection-head weights copied across."""
+    ref_loss = _ref_losses()
+    b, d, h, w = 6, 128, 4, 4
+    feats = rng.standard_normal((2 * b, d, h, w)).astype(np.float32)
+    labels = rng.integers(0, 4, (b,))
+
+    opts = types.SimpleNamespace(deeplab=False)
+    torch.manual_seed(0)
+    crit = ref_loss.SupConLoss(temperature=0.07, base_temperature=0.07,
+                               device="cpu", opts=opts)
+    with torch.no_grad():
+        want_sup = float(crit(torch.tensor(feats), torch.tensor(labels)))
+        want_sim = float(crit(torch.tensor(feats), None))
+
+    # replicate GAP + the reference head with ITS weights, then my loss fn
+    from doubly_contrastive_semseg_tpu.losses.supcon import supcon_loss
+
+    pooled = feats.mean(axis=(2, 3))  # (2B, D)
+    f1, f2 = pooled[:b], pooled[b:]
+    stacked = np.stack([f1, f2], axis=1)  # (B, 2, D)
+    w1 = crit.projection[0].weight.detach().numpy()
+    b1 = crit.projection[0].bias.detach().numpy()
+    w2 = crit.projection[2].weight.detach().numpy()
+    b2 = crit.projection[2].bias.detach().numpy()
+    proj = np.maximum(stacked @ w1.T + b1, 0.0) @ w2.T + b2
+
+    got_sup = float(supcon_loss(jnp.asarray(proj), jnp.asarray(labels)))
+    got_sim = float(supcon_loss(jnp.asarray(proj), None))
+    np.testing.assert_allclose(got_sup, want_sup, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got_sim, want_sim, rtol=1e-5, atol=1e-6)
+
+
+def test_focal2_and_ce_match_reference(rng):
+    ref_loss = _ref_losses()
+    b, c, s = 2, 19, 12
+    logits = rng.standard_normal((b, c, s, s)).astype(np.float32)
+    target = rng.integers(0, c, (b, s, s))
+    target[1, :3] = 255
+    weight = rng.uniform(0.5, 2.0, (c,)).astype(np.float32)
+
+    alphas = rng.uniform(0, 1, (b, s, s)).astype(np.float32)
+    alphas[target == 255] = 0.0
+    crit = ref_loss.FocalLoss2(gamma=0.5, num_classes=c, ignore_id=255,
+                               weight=torch.tensor(np.concatenate([weight, [0.0] * 237])),
+                               device="cpu")
+    want = float(crit(torch.tensor(logits), torch.tensor(target.copy()),
+                      {"label_distance_weight": torch.tensor(alphas)}))
+
+    from doubly_contrastive_semseg_tpu.losses.focal import (
+        cross_entropy_loss, plain_focal_loss)
+
+    got = float(plain_focal_loss(
+        jnp.asarray(np.transpose(logits, (0, 2, 3, 1))), jnp.asarray(target),
+        jnp.asarray(alphas), gamma=0.5))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    import torch.nn.functional as F
+
+    want_ce = float(F.cross_entropy(torch.tensor(logits),
+                                    torch.tensor(target.copy()),
+                                    ignore_index=255))
+    got_ce = float(cross_entropy_loss(
+        jnp.asarray(np.transpose(logits, (0, 2, 3, 1))), jnp.asarray(target)))
+    np.testing.assert_allclose(got_ce, want_ce, rtol=1e-5, atol=1e-6)
