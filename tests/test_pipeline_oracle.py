@@ -118,3 +118,42 @@ def test_fixed_resize_matches_reference(rng):
                                   np.asarray(ref_out["left"]))
     np.testing.assert_array_equal(np.asarray(my_out["label"]),
                                   np.asarray(ref_out["label"]))
+
+
+def test_random_square_crop_and_scale_matches_reference(rng):
+    """Given IDENTICAL random draws (np.random reseeded, adapter around the
+    legacy module API), the crop box + pad + PIL bicubic/nearest resizes are
+    byte-identical to the reference's RandomSquareCropAndScale."""
+    ct = _ref_import("dataloaders.custom_transforms_acdc")
+    from doubly_contrastive_semseg_tpu.data.transforms import (
+        RandomSquareCropAndScale)
+
+    img = Image.fromarray(rng.integers(0, 255, (90, 120, 3), dtype=np.uint8))
+    lbl = Image.fromarray(rng.integers(0, 19, (90, 120)).astype(np.uint8))
+    mean = (73, 82, 72)
+
+    np.random.seed(42)
+    ref_out = ct.RandomSquareCropAndScale(wh=(64, 64), mean=mean, ignore_id=255)(
+        {"left": img.copy(), "label": lbl.copy(), "left_name": "x.png"})
+
+    class _LegacyRng:
+        """np.random-module adapter matching the Generator API my transform
+        uses, drawing from the same legacy global stream as the reference."""
+
+        uniform = staticmethod(np.random.uniform)
+
+        def integers(self, low, high):
+            return np.random.randint(low, high)
+
+        def random(self):
+            return np.random.random()
+
+    np.random.seed(42)
+    my_out = RandomSquareCropAndScale(wh=(64, 64), mean=mean, ignore_id=255,
+                                      rng=_LegacyRng())(
+        {"left": img.copy(), "label": lbl.copy()})
+
+    np.testing.assert_array_equal(np.asarray(my_out["left"]),
+                                  np.asarray(ref_out["left"]))
+    np.testing.assert_array_equal(np.asarray(my_out["label"]),
+                                  np.asarray(ref_out["label"]))
