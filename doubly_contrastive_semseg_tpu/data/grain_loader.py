@@ -58,7 +58,8 @@ class GrainDataLoader:
             seed=self.seed * 1_000_003 + self.epoch,
         )
         loader = grain.DataLoader(data_source=self.dataset, sampler=sampler,
-                                  operations=[], worker_count=0)
+                                  operations=[],
+                                  worker_count=self.num_workers)
         it = iter(loader)
         self._last_iter = it
         buf = []

@@ -64,8 +64,9 @@ TRAIN_ID_TO_NAME = tuple(
 
 
 def encode_target(target) -> np.ndarray:
-    """Raw label ids → train ids (255 = ignore)."""
-    return ID_TO_TRAIN_ID[np.asarray(target).astype(np.uint8)]
+    """Raw label ids → train ids (255 = ignore). Signed indexing so id=-1
+    wraps to the license-plate row exactly like the reference's table."""
+    return ID_TO_TRAIN_ID[np.asarray(target, np.int64)]
 
 
 def decode_target(target) -> np.ndarray:

@@ -343,7 +343,12 @@ class RandomAffine:
         self.degrees = (-degrees, degrees) if np.isscalar(degrees) else degrees
         self.translate = translate
         self.scale_range = scale
-        self.shear = (-shear, shear) if np.isscalar(shear) and shear else shear
+        if np.isscalar(shear):
+            self.shear = (-shear, shear, 0.0, 0.0) if shear else None
+        elif shear is not None and len(shear) == 2:
+            self.shear = (shear[0], shear[1], 0.0, 0.0)
+        else:
+            self.shear = shear
         self.fillcolor = fillcolor
         self.ignore_id = ignore_id
         self.rng = rng or np.random.default_rng()
@@ -354,23 +359,27 @@ class RandomAffine:
         angle = math.radians(float(self.rng.uniform(*self.degrees)))
         if self.translate is not None:
             max_dx, max_dy = self.translate[0] * w, self.translate[1] * h
-            tx = float(self.rng.uniform(-max_dx, max_dx))
-            ty = float(self.rng.uniform(-max_dy, max_dy))
+            tx = float(np.round(self.rng.uniform(-max_dx, max_dx)))
+            ty = float(np.round(self.rng.uniform(-max_dy, max_dy)))
         else:
             tx = ty = 0.0
         s = float(self.rng.uniform(*self.scale_range)) if self.scale_range else 1.0
-        shx = math.radians(float(self.rng.uniform(*self.shear))) if self.shear else 0.0
+        if self.shear is not None:
+            shx = math.radians(float(self.rng.uniform(*self.shear[:2])))
+            shy = math.radians(float(self.rng.uniform(*self.shear[2:])))
+        else:
+            shx = shy = 0.0
 
-        # inverse affine about the center (torchvision RandomAffine math)
+        # torchvision _get_inverse_affine_matrix: invert M = T·C·R·Shear·S
+        # analytically (det of the unscaled 2×2 block is exactly 1).
         cx, cy = w * 0.5, h * 0.5
-        a = math.cos(angle + shx) / max(math.cos(shx), 1e-8) / s
-        b = (math.cos(angle + shx) * math.tan(shx) + math.sin(angle)) / max(
-            math.cos(shx), 1e-8) / s * -1.0
-        c = math.sin(angle) / s * 1.0
-        d = math.cos(angle) / s
-        # x_src = a(x−cx−tx) + b(y−cy−ty) + cx ; y_src = −c(…) + d(…) + cy
-        return (a, b, cx - a * (cx + tx) - b * (cy + ty),
-                -c, d, cy + c * (cx + tx) - d * (cy + ty))
+        a = math.cos(angle - shy) / math.cos(shy)
+        b = -math.cos(angle - shy) * math.tan(shx) / math.cos(shy) - math.sin(angle)
+        c = math.sin(angle - shy) / math.cos(shy)
+        d = -math.sin(angle - shy) * math.tan(shx) / math.cos(shy) + math.cos(angle)
+        m00, m01, m10, m11 = d / s, -b / s, -c / s, a / s
+        return (m00, m01, m00 * (-cx - tx) + m01 * (-cy - ty) + cx,
+                m10, m11, m10 * (-cx - tx) + m11 * (-cy - ty) + cy)
 
     def __call__(self, sample: Dict) -> Dict:
         w, h = sample["left"].size
@@ -390,7 +399,12 @@ class RandomErasing:
     """Erase a random rectangle of the image array (reference torchvision-fork
     ``custom_transforms.py:1376-1460``; Zhong et al. 2017). Runs after
     ``ToArrays`` (array domain); the label is left untouched, matching
-    torchvision (erasing simulates occlusion, not missing annotation)."""
+    torchvision (erasing simulates occlusion, not missing annotation).
+
+    ``value="random"`` fills i.i.d. standard-normal values exactly like the
+    reference (``torch.empty(...).normal_()``), whose example pipeline places
+    the transform AFTER ``Normalize`` — use it post-normalization; on raw
+    0..255 pixels pass a numeric ``value`` instead."""
 
     def __init__(self, p=0.5, scale=(0.02, 0.33), ratio=(0.3, 3.3), value=0.0,
                  rng: Optional[np.random.Generator] = None):
@@ -410,16 +424,15 @@ class RandomErasing:
         area = h_img * w_img
         for _ in range(10):
             target_area = float(self.rng.uniform(*self.scale)) * area
-            aspect = math.exp(float(self.rng.uniform(
-                math.log(self.ratio[0]), math.log(self.ratio[1]))))
+            aspect = float(self.rng.uniform(*self.ratio))
             eh = int(round(math.sqrt(target_area * aspect)))
             ew = int(round(math.sqrt(target_area / aspect)))
             if eh < h_img and ew < w_img:
                 y0 = int(self.rng.integers(0, h_img - eh + 1))
                 x0 = int(self.rng.integers(0, w_img - ew + 1))
                 if self.value == "random":
-                    img[y0:y0 + eh, x0:x0 + ew] = self.rng.uniform(
-                        0, 255, (eh, ew) + img.shape[2:])
+                    img[y0:y0 + eh, x0:x0 + ew] = self.rng.standard_normal(
+                        (eh, ew) + img.shape[2:])
                 else:
                     img[y0:y0 + eh, x0:x0 + ew] = self.value
                 break

@@ -136,7 +136,13 @@ class Evaluator:
                             gan_based: bool = False):
         cf = self.confusion_matrix_weather
         purity = np.trace(cf) / cf.sum() if cf.sum() else 0.0
-        acc_mean = float(np.mean(self.weather_acc)) if self.weather_acc else 0.0
+        # per-sample accuracy straight from the counts: exact on ragged final
+        # batches, where the reference's mean of per-batch means
+        # (stream_metrics.py:344-351) over-weights them — deliberate deviation
+        if cf.sum():
+            acc_mean = float(np.trace(cf) / cf.sum())
+        else:
+            acc_mean = float(np.mean(self.weather_acc)) if self.weather_acc else 0.0
         if save_filename:
             with open(save_filename, "a") as f:
                 if gan_based:

@@ -290,6 +290,9 @@ class Trainer:
             t0 = time.time()
             preds, accum = self._eval_step(
                 self.state.params, self.state.batch_stats, db, accum)
+            # NOTE: on tunneled backends (axon) block_until_ready returns at
+            # dispatch-ack, so this per-batch time can understate true device
+            # latency; bench.py's device_get fence is the authoritative FPS.
             preds.block_until_ready()
             fwt = time.time() - t0
             val_fwd_times.update(fwt)
@@ -413,9 +416,3 @@ class Trainer:
             store = Image.fromarray(np.concatenate(pieces, axis=0))
             store.thumbnail((720, 720))
             store.save(os.path.join(root, "overall", f"{img_id}_overall.png"))
-
-    def init(self, params):
-        return ()
-
-    def update(self, grads, state, params=None):
-        raise RuntimeError("placeholder optimizer")

@@ -247,6 +247,56 @@ def test_torchvision_fork_transforms():
     np.testing.assert_array_equal(out["label"], arrs["label"])  # label untouched
 
 
+def test_random_affine_matrix_oracle():
+    """RandomAffine._matrix vs an independent construction of torchvision's
+    inverse-affine math (the formula behind the reference's ``F.affine``,
+    custom_transforms.py:1293): build the FORWARD map M = T·C·R·SHy·SHx·S·C⁻¹
+    from elementary 3×3 matrices, invert numerically, and demand agreement —
+    including 45°, where a sign error on the sin term collapses det to 0."""
+    import math
+
+    from doubly_contrastive_semseg_tpu.data.transforms import RandomAffine
+
+    class ScriptedRng:
+        """Deterministic: every uniform(a, b) draw lands at 75% of the range
+        (so symmetric translate ranges still produce a nonzero draw)."""
+
+        def uniform(self, a, b):
+            return a + 0.75 * (b - a)
+
+    cases = [
+        dict(degrees=(45.0, 45.0), scale=(0.8, 0.8), shear=(10.0, 10.0)),
+        dict(degrees=(30.0, 30.0), scale=(1.3, 1.3),
+             shear=(5.0, 5.0, 12.0, 12.0)),
+        dict(degrees=(-17.0, -17.0), translate=(0.25, 0.25)),
+        dict(degrees=(90.0, 90.0)),
+    ]
+    w, h = 64, 48
+    for kw in cases:
+        aff = RandomAffine(rng=ScriptedRng(), **kw)
+        minv = np.array(aff._matrix(w, h)).reshape(2, 3)
+        det = np.linalg.det(minv[:, :2])
+        s = kw.get("scale", (1.0, 1.0))[0]
+        np.testing.assert_allclose(abs(det), 1.0 / s**2, rtol=1e-6)
+
+        angle = math.radians(kw["degrees"][0])
+        # uniform(-m, m) at the 75% point is m/2
+        tx = float(np.round(kw["translate"][0] * w / 2)) if "translate" in kw else 0.0
+        ty = float(np.round(kw["translate"][1] * h / 2)) if "translate" in kw else 0.0
+        shear4 = aff.shear or (0.0, 0.0, 0.0, 0.0)
+        sx = math.radians(shear4[0] + 0.75 * (shear4[1] - shear4[0]))
+        sy = math.radians(shear4[2] + 0.75 * (shear4[3] - shear4[2]))
+        T = np.array([[1, 0, tx], [0, 1, ty], [0, 0, 1.0]])
+        C = np.array([[1, 0, w * 0.5], [0, 1, h * 0.5], [0, 0, 1.0]])
+        R = np.array([[math.cos(angle), -math.sin(angle), 0],
+                      [math.sin(angle), math.cos(angle), 0], [0, 0, 1.0]])
+        SHy = np.array([[1, 0, 0], [-math.tan(sy), 1, 0], [0, 0, 1.0]])
+        SHx = np.array([[1, -math.tan(sx), 0], [0, 1, 0], [0, 0, 1.0]])
+        S = np.diag([s, s, 1.0])
+        fwd = T @ C @ R @ SHy @ SHx @ S @ np.linalg.inv(C)
+        np.testing.assert_allclose(minv, np.linalg.inv(fwd)[:2], atol=1e-9)
+
+
 def test_grain_loader_matches_thread_loader_interface():
     """--loader grain: deterministic per-epoch order, two-crop collation, and
     a serializable mid-epoch iterator state (what the threaded loader can't
