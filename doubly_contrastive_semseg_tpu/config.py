@@ -164,6 +164,8 @@ class Config:
     pretrained: Optional[str] = None  # path to a torch resnet .pth to convert
     train_projection: bool = False  # reference leaves SupCon proj head unoptimized (loss.py:104-109 params never reach the optimizer); opt-in to train it
     train_weather_clf: bool = False  # likewise the weather classifier (init_trainer.py:160-177 optimizes self.model only)
+    train_seg_head: bool = False  # reference ADAM groups also omit WeatherNet's seg head: random_init_params() drops self.segmentation (weathernet.py:100-102, the chain including it is commented out); opt-in to actually train it
+    efficient: bool = True  # gradient checkpointing (remat) on pyramid blocks, reference hard-codes True (weathernet.py:43); also reproduces torch checkpoint's double BN-stat update
     run_root: str = "run"
     host_augment: bool = True  # host PIL/cv2 pipeline (reference semantics); False = on-device augmentation
     loader: str = "thread"     # input pipeline: thread (prefetch pool) | grain (deterministic + checkpointable iterators)
@@ -339,6 +341,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pretrained", type=str, default=None)
     _add_bool_flag(p, "train_projection", False)
     _add_bool_flag(p, "train_weather_clf", False)
+    _add_bool_flag(p, "train_seg_head", False)
+    _add_bool_flag(p, "efficient", True)
     p.add_argument("--run_root", type=str, default=d.run_root)
     _add_bool_flag(p, "host_augment", True)
     p.add_argument("--loader", type=str, default=d.loader, choices=["thread", "grain"])

@@ -19,31 +19,102 @@ from ..ops.interpolate import adaptive_avg_pool, resize_bilinear
 
 Dtype = Any
 
-# torch BatchNorm momentum m updates running <- (1-m)*running + m*batch;
-# flax momentum μ updates running <- μ*running + (1-μ)*batch, so μ = 1 - m.
+# torch BatchNorm momentum m updates running <- (1-m)*running + m*batch.
 # Reference uses m=0.1 everywhere that matters (nn.BatchNorm2d default in the
 # backbone; _BNReluConv default bn_momentum=0.1, network/utils.py:36).
 TORCH_BN_MOMENTUM = 0.1
+
+
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch-exact *training* semantics.
+
+    flax ``nn.BatchNorm`` folds the **biased** batch variance into the
+    running stats; torch folds the **unbiased** one (``var * n/(n-1)``,
+    torch ``_BatchNorm.forward``). Both normalize activations with the biased
+    variance, so eval forwards agree — but running stats drift apart at a
+    steady-state relative offset of ``1/(n-1)``, which at the pyramid's
+    deepest level (6×6 spatial at 768² crops) is ~0.3%: visible at the
+    0.1 %p mIoU parity bar and caught by ``tests/test_train_oracle.py``.
+
+    Variable names/collections match flax ``nn.BatchNorm`` exactly
+    (``params/{scale,bias}``, ``batch_stats/{mean,var}``) so checkpoints and
+    the torch converter are unaffected.
+
+    Under a batch-sharded jit the batch moments are computed over the
+    *global* batch — XLA GSPMD inserts the cross-replica reduction
+    automatically, which subsumes the reference's entire hand-rolled
+    ``sync_batchnorm/`` package (``batchnorm.py:38-281``); ``n`` below is the
+    global element count since jit traces global shapes.
+    """
+
+    momentum_torch: float = TORCH_BN_MOMENTUM
+    epsilon: float = 1e-5
+    dtype: Optional[Dtype] = None
+    use_running_average: Optional[bool] = None
+    # torch's reentrant gradient checkpointing re-runs the wrapped BN during
+    # backward, folding the SAME batch moments into the running stats a second
+    # time (reference do_efficient_fwd, resnet_pyramid.py:39-44 — every
+    # BasicBlock bn1/bn2 when efficient=True). update_passes=2 reproduces
+    # that, including the recompute ORDER for the pyramid's shared trunk: the
+    # forward loop updates with per-level moments m_0..m_{L-1} and autograd's
+    # backward recomputes in reverse level order, so the torch sequence per BN
+    # is [m_0..m_{L-1}, m_{L-1}..m_0]. Given the call index l and total L via
+    # __call__, the sequential-equivalent update is
+    #   ra <- A_l * ra + B_l * m_l,
+    #   A_l = (1-m)^{2L} for l=0 else 1,  B_l = m((1-m)^{2L-1-l} + (1-m)^l).
+    update_passes: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array,
+                 use_running_average: Optional[bool] = None,
+                 shared_idx: int = 0, shared_total: int = 1) -> jax.Array:
+        ura = nn.merge_param("use_running_average", self.use_running_average,
+                             use_running_average)
+        feats = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feats,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feats,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, jnp.float32), (feats,))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, jnp.float32), (feats,))
+
+        if ura:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axes)
+            var = jnp.mean(jnp.square(xf), axes) - jnp.square(mean)  # biased
+            if not self.is_initializing():
+                n = x.size // feats
+                m = self.momentum_torch
+                var_unbiased = var * (n / max(n - 1, 1))
+                if self.update_passes == 2:
+                    ll, tt = shared_idx, shared_total
+                    a = (1.0 - m) ** (2 * tt) if ll == 0 else 1.0
+                    bcoef = m * ((1.0 - m) ** (2 * tt - 1 - ll) + (1.0 - m) ** ll)
+                    ra_mean.value = a * ra_mean.value + bcoef * mean
+                    ra_var.value = a * ra_var.value + bcoef * var_unbiased
+                else:
+                    ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                    ra_var.value = (1.0 - m) * ra_var.value + m * var_unbiased
+        inv = scale * jax.lax.rsqrt(var + self.epsilon)
+        y = (x - mean) * inv + bias
+        return y.astype(self.dtype or x.dtype)
 
 
 def batch_norm(
     dtype: Dtype,
     name: Optional[str] = None,
     momentum: float = TORCH_BN_MOMENTUM,
-) -> nn.BatchNorm:
-    """BatchNorm with torch-compatible momentum/eps semantics.
-
-    ``use_running_average`` is threaded per-call. Under a batch-sharded jit
-    the batch moments are computed over the *global* batch — XLA GSPMD inserts
-    the cross-replica reduction automatically, which subsumes the reference's
-    entire hand-rolled ``sync_batchnorm/`` package
-    (``network/backbone/sync_batchnorm/batchnorm.py:38-281``).
-    """
-    return nn.BatchNorm(
-        momentum=1.0 - momentum,
-        epsilon=1e-5,
+    epsilon: float = 1e-5,
+) -> TorchBatchNorm:
+    """BatchNorm with torch-compatible momentum/eps/running-stat semantics;
+    ``use_running_average`` is threaded per-call."""
+    return TorchBatchNorm(
+        momentum_torch=momentum,
+        epsilon=epsilon,
         dtype=dtype,
-        param_dtype=jnp.float32,
         name=name,
     )
 
@@ -170,8 +241,11 @@ class RawBatchNorm(nn.Module):
             mean = jnp.mean(x.astype(jnp.float32), axis=(0, 1, 2))
             var = jnp.var(x.astype(jnp.float32), axis=(0, 1, 2))
             if not self.is_initializing():
+                # torch folds the UNBIASED batch var into the running stats
+                n = x.size // x.shape[-1]
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
-                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+                ra_var.value = self.momentum * ra_var.value + \
+                    (1 - self.momentum) * var * (n / max(n - 1, 1))
         else:
             mean, var = ra_mean.value, ra_var.value
         y = (x - mean.astype(x.dtype)) * jax.lax.rsqrt(

@@ -42,8 +42,9 @@ SKIP_STAGES = {1: 0, 2: 1, 4: 2, 6: 3}
 
 def _bn(dtype, name):
     # efficientnet BN: momentum 0.01, eps 1e-3 (efficientnet_pytorch/utils.py)
-    return nn.BatchNorm(momentum=0.99, epsilon=1e-3, dtype=dtype,
-                        param_dtype=jnp.float32, name=name)
+    from .blocks import batch_norm
+
+    return batch_norm(dtype, name=name, momentum=0.01, epsilon=1e-3)
 
 
 class MBConv(nn.Module):

@@ -73,8 +73,11 @@ class _StemBN(nn.Module):
             mean = jnp.mean(x.astype(jnp.float32), axis=(0, 1, 2))
             var = jnp.var(x.astype(jnp.float32), axis=(0, 1, 2))
             if not self.is_initializing():
+                # torch folds the UNBIASED batch var into the running stats
+                n = x.size // x.shape[-1]
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
-                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+                ra_var.value = self.momentum * ra_var.value + \
+                    (1 - self.momentum) * var * (n / max(n - 1, 1))
         else:
             mean, var = ra_mean.value, ra_var.value
         y = (x - mean.astype(x.dtype)) * jax.lax.rsqrt(
@@ -90,18 +93,32 @@ class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
     use_bn: bool = True
+    # 2 when gradient checkpointing is on: torch's reentrant checkpoint
+    # re-runs (conv,bn) pairs during backward, folding the same batch moments
+    # into bn1/bn2's running stats twice (do_efficient_fwd,
+    # resnet_pyramid.py:39-44); the un-checkpointed downsample BN updates once
+    bn_update_passes: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool, level: int = 0,
+                 num_levels: int = 1) -> jax.Array:
+        from .blocks import TorchBatchNorm
+
         residual = x
         out = conv_kxk(self.planes, 3, self.stride, dtype=self.dtype, name="conv1")(x)
         if self.use_bn:
-            out = batch_norm(self.dtype, name="bn1")(out, use_running_average=not train)
+            out = TorchBatchNorm(dtype=self.dtype, name="bn1",
+                                 update_passes=self.bn_update_passes)(
+                out, use_running_average=not train,
+                shared_idx=level, shared_total=num_levels)
         out = nn.relu(out)
         out = conv_kxk(self.planes, 3, 1, dtype=self.dtype, name="conv2")(out)
         if self.use_bn:
-            out = batch_norm(self.dtype, name="bn2")(out, use_running_average=not train)
+            out = TorchBatchNorm(dtype=self.dtype, name="bn2",
+                                 update_passes=self.bn_update_passes)(
+                out, use_running_average=not train,
+                shared_idx=level, shared_total=num_levels)
         if self.stride != 1 or x.shape[-1] != self.planes:
             residual = nn.Conv(self.planes, (1, 1), strides=(self.stride, self.stride),
                                use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
@@ -152,7 +169,7 @@ class PyramidResNet(nn.Module):
         if self.efficient:
             # rematerialize each block's activations in backward, mirroring the
             # reference's torch.utils.checkpoint use (resnet_pyramid.py:39-44)
-            block_cls = nn.remat(BasicBlock, static_argnums=(2,))
+            block_cls = nn.remat(BasicBlock, static_argnums=(2, 3, 4))
 
         # shared trunk modules (weight sharing across pyramid levels comes from
         # calling the same module instances on every level)
@@ -173,6 +190,7 @@ class PyramidResNet(nn.Module):
             for bi in range(n_blocks):
                 stride = 2 if (si > 0 and bi == 0) else 1
                 blocks.append(block_cls(planes=planes, stride=stride, use_bn=self.use_bn,
+                                        bn_update_passes=2 if self.efficient else 1,
                                         dtype=self.dtype, name=f"layer{si + 1}_{bi}"))
             stages.append(blocks)
 
@@ -195,7 +213,7 @@ class PyramidResNet(nn.Module):
             x = max_pool_3x3_s2(x)
             for j, blocks in enumerate(stages):
                 for blk in blocks:
-                    x = blk(x, train)
+                    x = blk(x, train, idx, len(pyramid))
                 skips[idx + j].append(bnecks[j](x))
 
         # reverse: skips_r[0] is the coarsest level (reference resnet_pyramid.py:361)

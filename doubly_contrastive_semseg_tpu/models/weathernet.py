@@ -78,7 +78,9 @@ class WeatherNet(nn.Module):
 
     backbone: str = "resnet18"
     num_classes: int = 19
-    efficient: bool = False
+    # reference hard-codes efficient=True (gradient checkpointing,
+    # weathernet.py:43,48) — remat + torch's double BN-stat update quirk
+    efficient: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -164,7 +166,7 @@ class DCSSModel(nn.Module):
     backbone: str = "resnet18"
     num_classes: int = 19
     weather_num: int = 4
-    efficient: bool = False
+    efficient: bool = True  # reference default (weathernet.py:43)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -204,5 +206,6 @@ def build_model(cfg) -> nn.Module:
                      "resnet18_single", "resnet18_hourglass", "resnet18_rgbd",
                      "resnet18_back"):
         return DCSSModel(backbone=cfg.model, num_classes=cfg.num_classes,
-                         weather_num=cfg.weather_num, dtype=dtype)
+                         weather_num=cfg.weather_num,
+                         efficient=getattr(cfg, "efficient", True), dtype=dtype)
     raise NotImplementedError(f"model {cfg.model}")

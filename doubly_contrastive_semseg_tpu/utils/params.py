@@ -33,7 +33,17 @@ def _label_for_path(path_names, cfg) -> str:
         if any(sub.startswith(p) for p in FINE_TUNE_PREFIXES):
             return "fine_tune"
         return "random_init"
-    # seg head + anything else model-side
+    # WeatherNet's seg head: the reference's ADAM groups NEVER include it —
+    # random_init_params() returns only the backbone's list; the chain()
+    # adding self.segmentation.parameters() is commented out
+    # (weathernet.py:100-102). Frozen by default for exact train parity,
+    # opt-in via --train_seg_head. (DeepLab/ENet use one all-params group in
+    # the reference and have no 'segmentation'-named module here.)
+    # (Under SGD the reference filters the FULL named_parameters list, so the
+    # head IS trained there — the omission is ADAM-only.)
+    if "segmentation" in path_names and getattr(cfg, "optimizer_policy", "ADAM") == "ADAM":
+        return "random_init" if getattr(cfg, "train_seg_head", False) else "frozen"
+    # anything else model-side
     return "random_init"
 
 

@@ -71,8 +71,11 @@ def test_train_step_loss_decreases():
 
 
 def test_frozen_groups_receive_no_updates():
-    """Reference behavior: weather_clf and projection head params never reach
-    the optimizer (init_trainer.py:160-177); ours are 'frozen'-labeled."""
+    """Reference behavior: weather_clf, projection head AND the seg head
+    never reach the ADAM optimizer (init_trainer.py:160-177 +
+    weathernet.py:100-102, which drops self.segmentation from
+    random_init_params); ours are 'frozen'-labeled. --train_seg_head opts the
+    head back in."""
     cfg = _tiny_cfg("supcon_pixelcontrast_focal")
     batch = _tiny_batch(cfg)
     model, tx, state, labels = _make_state(cfg, batch)
@@ -91,9 +94,20 @@ def test_frozen_groups_receive_no_updates():
     for b, a in zip(jax.tree_util.tree_leaves(before_proj),
                     jax.tree_util.tree_leaves(after_proj)):
         np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
-    # but the segmentation head DID move
-    assert not np.array_equal(
+    # the seg head is frozen under ADAM by default, exactly like the reference
+    np.testing.assert_array_equal(
         before_seg, np.asarray(state.params["net"]["segmentation"]["conv"]["kernel"]))
+
+    # ... and moves when opted back in via --train_seg_head
+    cfg2 = _tiny_cfg("plain_focal")
+    cfg2.train_seg_head = True
+    model2, tx2, state2, labels2 = _make_state(cfg2, _tiny_batch(cfg2))
+    step2 = jax.jit(make_train_step(model2, cfg2, tx2))
+    before2 = np.asarray(
+        state2.params["net"]["segmentation"]["conv"]["kernel"]).copy()
+    state2, _ = step2(state2, _tiny_batch(cfg2), jax.random.PRNGKey(1))
+    assert not np.array_equal(
+        before2, np.asarray(state2.params["net"]["segmentation"]["conv"]["kernel"]))
 
 
 def test_checkpoint_roundtrip(tmp_path):

@@ -1,0 +1,309 @@
+"""ONE-TRAIN-STEP oracle against the ACTUAL reference trainer semantics.
+
+The eval-forward oracle (test_reference_parity.py) cannot see training-only
+semantics. This test builds the reference WeatherNet-RN18 + the reference
+ADAM optimizer (two param groups: ``random_init_params`` @ lr/wd and
+``fine_tune_params`` @ lr/4, wd/4, betas (0.9, 0.99) —
+``utils/init_trainer.py:160-177``), runs REAL ``loss.backward(); step()``
+iterations of the published recipe's seg branch (``trainer.py:199-203,
+212-214``), and demands that our jitted ``train_step`` — starting from the
+identical imported checkpoint and fed identical batches — lands on the same
+parameters AND BatchNorm running statistics after 1 and after 5 steps.
+
+This pins, all at once:
+- BN train-mode semantics: momentum 0.1, normalization by biased batch var,
+  running_var updated with the UNBIASED var (torch ``_BatchNorm``; our
+  ``TorchBatchNorm`` exists because flax folds the biased one),
+- torch Adam's L2-into-gradient weight decay (NOT AdamW) and bias
+  correction, via optax add_decayed_weights→scale_by_adam ordering,
+- the lr/4, wd/4 fine-tune group fan-out over exactly the reference's
+  parameter partition — including that the reference NEVER optimizes the seg
+  head under ADAM (``weathernet.py:100-102`` drops ``self.segmentation`` from
+  ``random_init_params``; asserted against the torch run below),
+- gradient flow through the frozen projection head into the trunk
+  (supcon case), with the head itself unchanged on both sides.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+REFERENCE = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "network")),
+    reason="reference repo not available")
+
+B, H, W, C = 2, 128, 128, 19
+LR, WD = 4e-4, 1e-4  # the published recipe (scripts/train_weather.sh)
+
+
+def _batches(n_steps, seed=0, two_view=False):
+    out = []
+    for i in range(n_steps):
+        rng = np.random.default_rng(seed + i)
+        n_img = 2 * B if two_view else B
+        x = rng.uniform(0, 255, (n_img, 3, H, W)).astype(np.float32)
+        labels = rng.integers(0, C, (B, H, W)).astype(np.int64)
+        labels[:, :8, :8] = 255
+        alphas = rng.uniform(0.05, 1.0, (B, H, W)).astype(np.float32)
+        alphas[labels == 255] = 0.0
+        weather = rng.integers(0, 4, (B,)).astype(np.int64)
+        out.append({"x": x, "labels": labels, "alphas": alphas,
+                    "weather": weather})
+    return out
+
+
+@pytest.fixture(scope="module")
+def class_weight():
+    return np.random.default_rng(42).uniform(0.5, 2.0, (C,)).astype(np.float32)
+
+
+def _run_reference(batches, class_weight, criterion="none", snapshot_at=(1, 5)):
+    """Torch-CPU reference: model + criterion + two-group Adam, real steps.
+
+    Returns {step: state_dict-ckpt-path-content}, plus the supcon head
+    weights used (for the supcon criterion)."""
+    from test_reference_parity import (_install_torchvision_stubs,
+                                       build_reference_weathernet)
+
+    model = build_reference_weathernet()
+    model.train()
+
+    _install_torchvision_stubs()
+    sys.path.insert(0, REFERENCE)
+    try:
+        import utils.loss as ref_loss
+    finally:
+        sys.path.remove(REFERENCE)
+
+    import types
+
+    opts = types.SimpleNamespace(criterion=criterion, no_class_weights=False,
+                                 no_EDT=False, with_depth_level_loss=False,
+                                 deeplab=False)
+    w256 = torch.tensor(np.concatenate([class_weight, [0.0] * 237]))
+    crit = ref_loss.BoundaryAwareFocalLoss(
+        gamma=0.5, num_classes=C, ignore_id=255, weight=w256, device="cpu",
+        opts=opts)
+    supcon_crit = None
+    if "supcon" in criterion:
+        torch.manual_seed(123)
+        supcon_crit = ref_loss.SupConLoss(
+            temperature=0.07, contrast_mode="all", base_temperature=0.07,
+            weight=w256, device="cpu", opts=opts)
+
+    # init_trainer.py:160-177: ADAM, two groups, betas (0.9, 0.99)
+    opt = torch.optim.Adam(
+        [{"params": list(model.random_init_params()), "lr": LR,
+          "weight_decay": WD},
+         {"params": list(model.fine_tune_params()), "lr": LR / 4,
+          "weight_decay": WD / 4}],
+        betas=(0.9, 0.99))
+
+    head_before = {k: v.detach().clone()
+                   for k, v in model.segmentation.state_dict().items()
+                   if "running" not in k and "num_batches" not in k}
+
+    snaps = {0: {k: v.detach().clone().numpy()
+                 for k, v in model.state_dict().items()}}
+    for i, b in enumerate(batches):
+        x = torch.tensor(b["x"])
+        labels = torch.tensor(b["labels"])
+        sample = {"label_distance_weight": torch.tensor(b["alphas"])}
+        two_view = "supcon" in criterion
+
+        left_seg, seg_beforeup, fine_feat, fine_feat0 = model(
+            x, return_supcon_feature=two_view)
+        seg_loss = crit(left_seg, labels.clone(), sample)
+        if two_view:
+            sup = supcon_crit(fine_feat,
+                              class_labels=torch.tensor(b["weather"]),
+                              mask=None)
+            total = sup / B + 1.2 * seg_loss  # trainer.py:123
+        else:
+            total = seg_loss                  # trainer.py:199-203
+        _REF_LOSSES[(criterion, i)] = float(total.detach())
+        opt.zero_grad()
+        total.backward()
+        opt.step()
+        if (i + 1) in snapshot_at:
+            snaps[i + 1] = {k: v.detach().clone().numpy()
+                            for k, v in model.state_dict().items()}
+
+    # the reference's ADAM recipe really does leave the seg head untouched
+    for k, v in model.segmentation.state_dict().items():
+        if "running" in k or "num_batches" in k:
+            continue
+        np.testing.assert_array_equal(
+            v.detach().numpy(), head_before[k].numpy(),
+            err_msg=f"reference seg head param {k} changed — "
+                    "param-group premise broken")
+
+    head_np = None
+    if supcon_crit is not None:
+        hsd = supcon_crit.projection.state_dict()
+        head_np = {k: v.numpy() for k, v in hsd.items()}
+    return snaps, head_np
+
+
+_REF_LOSSES: dict = {}
+
+
+def _ours_setup(snap0, tmp_path, criterion, head_np=None):
+    from doubly_contrastive_semseg_tpu.config import parse_args
+    from doubly_contrastive_semseg_tpu.models import DCSSModel
+    from doubly_contrastive_semseg_tpu.train.optimizer import build_optimizer
+    from doubly_contrastive_semseg_tpu.train.state import TrainState
+    from doubly_contrastive_semseg_tpu.train.steps import make_train_step
+    from doubly_contrastive_semseg_tpu.utils import label_params_for_optimizer
+    from doubly_contrastive_semseg_tpu.utils.torch_convert import load_pretrained
+
+    cfg = parse_args([
+        "--dataset", "synthetic", "--model", "resnet18", "--train_semantic",
+        "--criterion", criterion, "--batch_size", str(B),
+        "--compute_dtype", "float32", "--no_use_balanced_weights",
+        "--lr", str(LR), "--weight_decay", str(WD), "--epochs", "400",
+    ])
+    model = DCSSModel(backbone="resnet18", num_classes=C, weather_num=4,
+                      dtype=jnp.float32)
+
+    ckpt = str(tmp_path / "step0.pth")
+    torch.save({"model_state": {k: torch.tensor(v)
+                                for k, v in snap0.items()}}, ckpt)
+    n_img = 2 * B if "supcon" in criterion else B
+    x0 = jnp.zeros((n_img, H, W, 3), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x0, train=False,
+                   return_supcon_feature="supcon" in criterion)
+    params, stats, n = load_pretrained(v["params"], v["batch_stats"], ckpt)
+    assert n > 100
+
+    if head_np is not None:
+        # the reference hides the projection head inside SupConLoss; copy its
+        # torch weights into our in-model (frozen) head
+        proj = dict(params["projection"])
+        proj["fc1"] = {"kernel": jnp.asarray(head_np["0.weight"].T),
+                       "bias": jnp.asarray(head_np["0.bias"])}
+        proj["fc2"] = {"kernel": jnp.asarray(head_np["2.weight"].T),
+                       "bias": jnp.asarray(head_np["2.bias"])}
+        params = dict(params)
+        params["projection"] = proj
+
+    labels = label_params_for_optimizer(params, cfg)
+    tx = build_optimizer(cfg, labels, steps_per_epoch=10_000)  # epoch 0: lr=base
+    state = TrainState(params=params, batch_stats=stats,
+                       opt_state=tx.init(params), step=0)
+    return cfg, model, tx, state
+
+
+def _import_snap(snap, model, tmp_path, template, head_np=None):
+    """Torch state_dict snapshot → our pytree, via the production converter."""
+    from doubly_contrastive_semseg_tpu.utils.torch_convert import load_pretrained
+
+    p = str(tmp_path / "snap.pth")
+    torch.save({"model_state": {k: torch.tensor(v) for k, v in snap.items()}}, p)
+    params, stats, _ = load_pretrained(template["params"],
+                                       template["batch_stats"], p)
+    return params, stats
+
+
+def _run_ours(cfg, model, tx, state, batches, class_weight):
+    from doubly_contrastive_semseg_tpu.train.steps import make_train_step
+
+    step_fn = make_train_step(model, cfg, tx)
+    step_fn = jax.jit(step_fn)
+    snaps, losses = {}, {}
+    with jax.default_matmul_precision("highest"):
+        for i, b in enumerate(batches):
+            batch = {
+                "left": jnp.asarray(np.transpose(b["x"], (0, 2, 3, 1))),
+                "label": jnp.asarray(b["labels"]),
+                "label_distance_weight": jnp.asarray(b["alphas"]),
+                "weather": jnp.asarray(b["weather"]),
+                "class_weight": jnp.asarray(class_weight),
+            }
+            state, metrics = step_fn(state, batch, jax.random.PRNGKey(0))
+            snaps[i + 1] = state
+            losses[i] = float(metrics["total_loss"])
+    return snaps, losses
+
+
+@pytest.mark.parametrize("criterion,n_steps", [("none", 5),
+                                               ("supcon_focal", 2)])
+def test_train_step_matches_reference(tmp_path, class_weight, criterion,
+                                      n_steps):
+    batches = _batches(n_steps, seed=7, two_view="supcon" in criterion)
+    snapshot_at = (1, n_steps)
+    ref_snaps, head_np = _run_reference(batches, class_weight,
+                                        criterion=criterion,
+                                        snapshot_at=snapshot_at)
+
+    cfg, model, tx, state = _ours_setup(ref_snaps[0], tmp_path, criterion,
+                                        head_np=head_np)
+    template = {"params": state.params, "batch_stats": state.batch_stats}
+    our_snaps, our_losses = _run_ours(cfg, model, tx, state, batches,
+                                      class_weight)
+
+    # the total loss itself is deterministic: f32-level agreement every step
+    # (step > 0 losses are computed on already-diverged-by-noise params, so
+    # the bar loosens slightly with depth)
+    for i in range(n_steps):
+        want = _REF_LOSSES[(criterion, i)]
+        assert abs(our_losses[i] - want) / max(abs(want), 1.0) < 1e-4 * (i + 1), \
+            f"[{criterion}] step {i}: loss {our_losses[i]:.6f} vs {want:.6f}"
+
+    # Elementwise Adam-update comparison is noise-amplifying by construction:
+    # the first-step update is lr*g/(|g|+eps) (≈ ±lr), so any element whose
+    # true |g| is below the f32 cross-framework noise floor (~1e-7; the
+    # random-init trunk's median |g| is only ~3e-6) lands a full ±lr apart.
+    # The meaningful invariants are: frozen groups move EXACTLY zero, the
+    # deviating-element population stays tiny (a wrong group lr / weight-decay
+    # placement / momentum mapping shifts whole tensors), and BN running
+    # stats — which are deterministic — agree to relative tolerance.
+    for s in snapshot_at:
+        want_p, want_bs = _import_snap(ref_snaps[s], model, tmp_path, template)
+        got = our_snaps[s]
+
+        diffs = []
+
+        def visit(path, x, y):
+            d = np.abs(np.asarray(x) - np.asarray(y))
+            name = jax.tree_util.keystr(path)
+            top = name.split("'")[1]
+            if top in ("weather_clf", "projection") or "segmentation" in name:
+                # frozen on both sides -> bit-exact
+                assert d.max() == 0.0, \
+                    f"[{criterion}] step {s}: frozen param moved: {name}"
+            else:
+                diffs.append(d.ravel())
+            return x
+
+        jax.tree_util.tree_map_with_path(visit, got.params, want_p)
+        alld = np.concatenate(diffs)
+        frac_big = float(np.mean(alld > 0.5 * LR * s))
+        assert frac_big < 5e-3, \
+            f"[{criterion}] step {s}: {frac_big:.2%} of elements deviate " \
+            f"beyond half an lr-step (group lr/wd/momentum mismatch?)"
+        assert float(np.mean(alld)) < 0.05 * LR * s, \
+            f"[{criterion}] step {s}: mean deviation {np.mean(alld):.3e}"
+
+        def visit_bs(path, x, y):
+            xx, yy = np.asarray(x), np.asarray(y)
+            rel = np.abs(xx - yy).max() / max(np.abs(yy).max(), 1e-2)
+            # step-1 is the sharp check (params still identical): 2.5%
+            # catches single-vs-double update (~5-20%), recompute ordering
+            # (~4%), and biased-var (14% at the 2x2-spatial blend). Later
+            # steps run on params already separated by Adam sign-noise, so the
+            # bar scales with s.
+            bar = 0.025 if s == 1 else 0.07 * s
+            assert rel < bar, \
+                f"[{criterion}] step {s}: BN stat rel dev {rel:.3e} at " \
+                f"{jax.tree_util.keystr(path)}"
+            return x
+
+        jax.tree_util.tree_map_with_path(visit_bs, got.batch_stats, want_bs)
