@@ -19,6 +19,27 @@ import numpy as np
 from .loader import collate
 
 
+class _StableSource:
+    """Delegating wrapper with a content-stable ``__repr__``.
+
+    Grain embeds ``repr(data_source)`` in the serialized iterator state and
+    refuses to restore on mismatch; the default object repr contains the
+    memory address, which would make every mid-epoch resume (a NEW process by
+    definition) fail validation."""
+
+    def __init__(self, dataset):
+        self._dataset = dataset
+
+    def __getitem__(self, i):
+        return self._dataset[i]
+
+    def __len__(self):
+        return len(self._dataset)
+
+    def __repr__(self):
+        return f"{type(self._dataset).__name__}(len={len(self._dataset)})"
+
+
 class GrainDataLoader:
     """Map-style dataset → grain sampler/operations pipeline."""
 
@@ -36,6 +57,7 @@ class GrainDataLoader:
         self.epoch = 0
         self.num_workers = num_workers
         self._last_iter = None
+        self._pending_state: Optional[bytes] = None
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -57,10 +79,15 @@ class GrainDataLoader:
             num_epochs=1,
             seed=self.seed * 1_000_003 + self.epoch,
         )
-        loader = grain.DataLoader(data_source=self.dataset, sampler=sampler,
-                                  operations=[],
+        loader = grain.DataLoader(data_source=_StableSource(self.dataset),
+                                  sampler=sampler, operations=[],
                                   worker_count=self.num_workers)
         it = iter(loader)
+        if self._pending_state is not None:
+            # mid-epoch resume: fast-forward to the checkpointed position
+            # (requires the same epoch/seed, which set_epoch restores)
+            it.set_state(self._pending_state)
+            self._pending_state = None
         self._last_iter = it
         buf = []
         for rec in it:
@@ -79,8 +106,12 @@ class GrainDataLoader:
         return None
 
     def set_state(self, state: bytes) -> None:
+        """Apply to the live iterator, or defer to the next ``__iter__``
+        (the checkpoint-restore path: the loader has not started yet)."""
         if self._last_iter is not None and hasattr(self._last_iter, "set_state"):
             self._last_iter.set_state(state)
+        else:
+            self._pending_state = state
 
 
 def make_loader(kind: str, dataset, batch_size: int, **kw):

@@ -20,13 +20,14 @@ from .state import TrainState
 
 
 def _meta(epoch: int, state: TrainState, score: Optional[Dict], best_score: float,
-          best_score_epoch: int) -> Dict:
+          best_score_epoch: int, mid_epoch: bool) -> Dict:
     return {
         "epoch": int(epoch),
         "num_iter": int(state.step),
         "score": {k: float(v) for k, v in (score or {}).items() if k != "Class IoU"},
         "best_score": float(best_score),
         "best_score_epoch": int(best_score_epoch),
+        "mid_epoch": bool(mid_epoch),
     }
 
 
@@ -40,7 +41,13 @@ class CheckpointManager:
 
     def save(self, name: str, state: TrainState, epoch: int,
              score: Optional[Dict] = None, best_score: float = 0.0,
-             best_score_epoch: int = -1) -> None:
+             best_score_epoch: int = -1,
+             loader_state: Optional[bytes] = None) -> None:
+        """``loader_state``: serialized grain-iterator position — present makes
+        this a MID-epoch checkpoint that resumes at the exact batch (the
+        threaded loader and the reference's torch DataLoader both restart the
+        epoch; grain's checkpointable iterator is why ``--loader grain``
+        exists)."""
         payload = {
             "params": state.params,
             "batch_stats": state.batch_stats,
@@ -54,7 +61,14 @@ class CheckpointManager:
         import json
 
         with open(path + ".meta.json", "w") as f:
-            json.dump(_meta(epoch, state, score, best_score, best_score_epoch), f)
+            json.dump(_meta(epoch, state, score, best_score, best_score_epoch,
+                            mid_epoch=loader_state is not None), f)
+        ls_path = path + ".loader_state"
+        if loader_state is not None:
+            with open(ls_path, "wb") as f:
+                f.write(loader_state)
+        elif os.path.exists(ls_path):
+            os.remove(ls_path)  # stale mid-epoch state from a prior rescue
 
     def restore(self, path: str, state: TrainState,
                 continue_training: bool = False) -> Tuple[TrainState, Dict]:
@@ -79,6 +93,9 @@ class CheckpointManager:
         if os.path.isfile(path + ".meta.json"):
             with open(path + ".meta.json") as f:
                 meta = json.load(f)
+        if continue_training and os.path.isfile(path + ".loader_state"):
+            with open(path + ".loader_state", "rb") as f:
+                meta["loader_state"] = f.read()
         new_state = state.replace(
             params=loaded["params"],
             batch_stats=loaded["batch_stats"],

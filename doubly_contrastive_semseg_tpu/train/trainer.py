@@ -109,7 +109,17 @@ class Trainer:
             self.state, meta = self.ckpt.restore(
                 cfg.resume, self.state, continue_training=cfg.continue_training)
             if cfg.continue_training:
-                self.cur_epochs = int(meta.get("epoch", -1)) + 1
+                if meta.get("mid_epoch") and meta.get("loader_state") is not None \
+                        and hasattr(self.train_loader, "set_state"):
+                    # rescue checkpoint taken mid-epoch with --loader grain:
+                    # continue the SAME epoch at the exact batch position
+                    self.cur_epochs = int(meta.get("epoch", 0))
+                    self.train_loader.set_state(meta["loader_state"])
+                    logging.info("mid-epoch loader position restored "
+                                 "(epoch %d resumes at the saved batch)",
+                                 self.cur_epochs)
+                else:
+                    self.cur_epochs = int(meta.get("epoch", -1)) + 1
                 self.num_iter = int(meta.get("num_iter", 0)) + 1
                 self.best_score = float(meta.get("best_score", 0.0))
                 self.best_score_epoch = int(meta.get("best_score_epoch", -1))
@@ -157,8 +167,15 @@ class Trainer:
         def rescue(signum, frame):
             logging.warning("signal %s: writing rescue checkpoint...", signum)
             try:
+                loader_state = None
+                if hasattr(self.train_loader, "get_state"):
+                    try:  # grain loader: exact mid-epoch batch position
+                        loader_state = self.train_loader.get_state()
+                    except Exception:
+                        loader_state = None
                 self.ckpt.save("rescue_checkpoint", self.state, self.cur_epochs,
-                               None, self.best_score, self.best_score_epoch)
+                               None, self.best_score, self.best_score_epoch,
+                               loader_state=loader_state)
                 logging.warning("rescue checkpoint saved; exiting")
             finally:
                 raise SystemExit(128 + signum)

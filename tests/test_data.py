@@ -308,7 +308,10 @@ def test_grain_loader_matches_thread_loader_interface():
 
     t = TwoCropTransform(Compose([ToArrays()]))
     ds = SyntheticDataset(size=9, image_hw=(32, 40), transform=t)
-    dl = GrainDataLoader(ds, batch_size=4, shuffle=True, drop_last=True, seed=5)
+    # num_workers=0: in-process loading — multiprocess worker startup costs
+    # ~1 min on the 1-core CI host and adds nothing to this interface test
+    dl = GrainDataLoader(ds, batch_size=4, shuffle=True, drop_last=True, seed=5,
+                         num_workers=0)
     batches = list(dl)
     assert len(batches) == len(dl) == 2
     assert batches[0]["left"].shape == (8, 32, 40, 3)  # two-crop concat
@@ -323,6 +326,65 @@ def test_grain_loader_matches_thread_loader_interface():
 
     state = dl.get_state()
     assert state  # serializable mid-epoch position
+
+
+def test_grain_loader_mid_epoch_resume(tmp_path):
+    """Interrupt at batch k, restore the serialized iterator position into a
+    FRESH loader (the checkpoint-restore path: state applied before the
+    iterator exists), and the remaining batch sequence must be identical to
+    an uninterrupted epoch — including across a CheckpointManager sidecar
+    round-trip (train/checkpoints.py loader_state)."""
+    pytest.importorskip("grain")
+    import jax.numpy as jnp
+    import optax
+
+    from doubly_contrastive_semseg_tpu.data import SyntheticDataset
+    from doubly_contrastive_semseg_tpu.data.grain_loader import GrainDataLoader
+    from doubly_contrastive_semseg_tpu.data.transforms import Compose, ToArrays
+    from doubly_contrastive_semseg_tpu.train.checkpoints import CheckpointManager
+    from doubly_contrastive_semseg_tpu.train.state import TrainState
+
+    def make_loader():
+        ds = SyntheticDataset(size=12, image_hw=(16, 16),
+                              transform=Compose([ToArrays()]))
+        dl = GrainDataLoader(ds, batch_size=2, shuffle=True, drop_last=True,
+                             seed=3, num_workers=0)
+        dl.set_epoch(2)
+        return dl
+
+    full = list(make_loader())              # uninterrupted epoch: 6 batches
+
+    dl1 = make_loader()
+    it = iter(dl1)
+    for _ in range(2):                      # consume batches 0 and 1
+        next(it)
+    state = dl1.get_state()
+
+    # round-trip the loader position through the checkpoint sidecar
+    params = {"w": jnp.zeros((2,))}
+    tx = optax.sgd(1e-3)
+    ts = TrainState(params=params, batch_stats={}, opt_state=tx.init(params),
+                    step=jnp.zeros((), jnp.int32))
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save("rescue_checkpoint", ts, epoch=2, loader_state=state)
+    _, meta = mgr.restore(str(tmp_path / "rescue_checkpoint"), ts,
+                          continue_training=True)
+    assert meta["mid_epoch"] is True
+    assert meta["loader_state"] == state
+
+    dl2 = make_loader()                     # fresh process analog
+    dl2.set_state(meta["loader_state"])     # applied before __iter__
+    resumed = list(dl2)
+    assert len(resumed) == len(full) - 2
+    for want, got in zip(full[2:], resumed):
+        np.testing.assert_array_equal(want["left"], got["left"])
+        np.testing.assert_array_equal(want["label"], got["label"])
+
+    # a subsequent epoch-end save without loader_state clears the sidecar
+    mgr.save("rescue_checkpoint", ts, epoch=3)
+    _, meta2 = mgr.restore(str(tmp_path / "rescue_checkpoint"), ts,
+                           continue_training=True)
+    assert meta2["mid_epoch"] is False and "loader_state" not in meta2
 
 
 def test_labels_table_consistency():

@@ -39,6 +39,7 @@ def test_label_boundary_weights_matches_host_transform(rng):
     np.testing.assert_allclose(dev, host, atol=0.06)
 
 
+@pytest.mark.slow  # legacy single-scale variant; factory reachability covered in test_models
 def test_single_scale_swiftnet(rng):
     from doubly_contrastive_semseg_tpu.models.swiftnet_single import (
         RGBDSwiftNet, SingleScaleSwiftNet)
@@ -56,6 +57,9 @@ def test_single_scale_swiftnet(rng):
     assert y2.shape == (1, 16, 16, 128)
 
 
+@pytest.mark.slow  # ~70s compile (two trunk passes + cost volume backward);
+# the stereo trainer CLI is exercised by scripts/smoke_all.sh step 3 and
+# stereo forwards by test_stereo / test_stereo_extras
 def test_stereo_train_step_loss_decreases(rng):
     import optax
 
@@ -75,7 +79,12 @@ def test_stereo_train_step_loss_decreases(rng):
         "disp": jnp.stack([jnp.asarray(ds[i]["disp"]) for i in range(2)]),
         "label": jnp.stack([jnp.asarray(ds[i]["label"]) for i in range(2)]),
     }
-    model = StereoDCSS(max_disp=16, num_classes=19, dtype=jnp.float32)
+    # stereonet aggregation/refinement: the adaptive/semantic pair compiles
+    # ~1 min of deform-conv gather HLO on the 1-core CI host; the heavy
+    # variants' forwards are covered by test_stereo / test_stereo_extras
+    model = StereoDCSS(max_disp=16, num_classes=19, dtype=jnp.float32,
+                       aggregation_type="stereonet",
+                       refinement_type="stereonet")
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         batch["left"], batch["right"], train=True)

@@ -25,8 +25,11 @@ def _cfg(model, extra=()):
                        "--compute_dtype", "float32", *extra])
 
 
-@pytest.mark.parametrize("name", ["enet", "deeplabv3plus_resnet50",
-                                  "deeplabv3_mobilenet"])
+@pytest.mark.parametrize("name", [
+    "enet", "deeplabv3plus_resnet50",
+    # deeplab contract already covered by the rn50 case; the mnv2-backbone
+    # compile costs ~30s on the CI host -> slow tier
+    pytest.param("deeplabv3_mobilenet", marks=pytest.mark.slow)])
 def test_model_contract_supcon(name):
     cfg = _cfg(name)
     model = build_model(cfg)
@@ -45,6 +48,7 @@ def test_model_contract_supcon(name):
         assert out["fine_feat0"].shape[1:3] == out["seg_beforeup"].shape[1:3]
 
 
+@pytest.mark.slow  # OS16 is the default-gate deeplab case
 def test_deeplab_output_stride_8():
     cfg = _cfg("deeplabv3plus_resnet50", ["--output_stride", "8"])
     model = build_model(cfg)
@@ -80,9 +84,13 @@ def test_enet_pool_unpool_roundtrip(rng):
     np.testing.assert_array_equal(win[~np.broadcast_to(mask, win.shape)], 0.0)
 
 
-@pytest.mark.parametrize("name", ["mobilenetv2", "resnet18_single",
-                                  "resnet18_hourglass", "resnet18_rgbd",
-                                  "resnet18_back"])
+@pytest.mark.parametrize("name", [
+    # one light representative per family in the default gate; the heavier
+    # legacy pyramids are slow-tier (forwards only, L-status in SURVEY)
+    pytest.param("mobilenetv2", marks=pytest.mark.slow),
+    pytest.param("resnet18_single", marks=pytest.mark.slow),
+    pytest.param("resnet18_hourglass", marks=pytest.mark.slow),
+    "resnet18_rgbd", "resnet18_back"])
 def test_factory_reaches_legacy_backbones(name):
     """The mnv2 pyramid and the single-scale RODSNet-era SwiftNet variants
     are flag-reachable (reference keeps them reachable too: mnv2_pyramid.py,

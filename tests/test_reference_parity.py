@@ -194,6 +194,7 @@ def test_serving_path_matches_reference(reference_weathernet, tmp_path):
     assert (labels == labels_ref).mean() == 1.0
 
 
+@pytest.mark.slow  # converter block-enumeration variant; rn18+deeplab run in the default gate
 def test_resnet34_forward_parity(tmp_path):
     """Same oracle for the resnet34 trunk (layers (3,4,6,3)) — exercises the
     converter's block enumeration beyond rn18."""

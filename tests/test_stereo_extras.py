@@ -67,6 +67,7 @@ def test_psmnet_hg_aggregation_deep_supervision(rng):
     assert outs_eval[0].shape == (1, 32, 32, 16)
 
 
+@pytest.mark.slow  # heaviest 3D-conv aggregation; stereonet/psmnet cover the family fast
 def test_gcnet_aggregation_doubles_resolution(rng):
     vol = _vol(rng, h=16, w=16, d=32, c=8, mode="concat")
     m = GCNetAggregation()
@@ -75,7 +76,8 @@ def test_gcnet_aggregation_doubles_resolution(rng):
     assert out.shape == (1, 32, 32, 64)  # GCNet: half-res volume → full res
 
 
-@pytest.mark.parametrize("kind", ["stereodrnet", "hourglass"])
+@pytest.mark.parametrize("kind", [
+    "stereodrnet", pytest.param("hourglass", marks=pytest.mark.slow)])
 def test_warp_error_refinements(rng, kind):
     left = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
     right = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
@@ -87,7 +89,9 @@ def test_warp_error_refinements(rng, kind):
     assert (np.asarray(out) >= 0).all()  # final relu
 
 
-@pytest.mark.parametrize("kind", sorted(REFINE_NEW_VARIANTS))
+@pytest.mark.parametrize("kind", [
+    k if k in ("disp_sem", "new1") else pytest.param(k, marks=pytest.mark.slow)
+    for k in sorted(REFINE_NEW_VARIANTS)])
 def test_semantic_refinement_family(rng, kind):
     """Every Refine_disp_sem / Refine_New variant: returns (disp at full res,
     sem features) on a low-res disparity + 128-ch semantic features."""

@@ -62,6 +62,7 @@ def test_feature_pyramids(rng):
     assert [o.shape[1] for o in outs2] == [16, 8, 4]
 
 
+@pytest.mark.slow
 def test_mobilenetv2_feature_stages(rng):
     feats = _run(MobileNetV2Feature(), _img(rng, 64, 64))
     # 6-stage list: 16@1, 16/2, 24/4, 32/8, 96/16, 320/16(dilated)
@@ -87,6 +88,7 @@ def test_legacy_segmentation_heads(rng):
         assert s.shape == (1, 16, 16, 19)
 
 
+@pytest.mark.slow  # legacy RODSNet head; plain extractors cover the module fast
 def test_disparity_feature_head(rng):
     # needs /48-divisible full-res for the internal GANet U-net after the
     # decoder returns to input resolution

@@ -39,6 +39,7 @@ def test_horizontal_flip_pairs_image_and_label():
     np.testing.assert_array_equal(np.array(out["label"]), lbl[:, ::-1])
 
 
+@pytest.mark.slow
 def test_hourglass_swiftnet(rng):
     from doubly_contrastive_semseg_tpu.models.swiftnet_single import HourglassSwiftNet
 
@@ -54,6 +55,7 @@ def test_tsne_tool_runs(tmp_path):
 
     cfg = parse_args(["--dataset", "synthetic", "--criterion", "none",
                       "--train_semantic", "--debug", "--compute_dtype", "float32",
+                      "--no_efficient",
                       "--run_root", str(tmp_path), "--batch_size", "4"])
     viz = Viz(cfg)
     out = viz.run(mode="image")
@@ -69,7 +71,7 @@ def test_trainer_validate_in_process(tmp_path):
 
     cfg = parse_args(["--dataset", "synthetic", "--criterion", "none",
                       "--train_semantic", "--debug", "--compute_dtype", "float32",
-                      "--batch_size", "2", "--val_batch_size", "2",
+                      "--no_efficient", "--batch_size", "2", "--val_batch_size", "2",
                       "--run_root", str(tmp_path), "--epochs", "1"])
     tr = Trainer(cfg)
     score = tr.validate()

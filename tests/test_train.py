@@ -25,6 +25,9 @@ def _tiny_cfg(criterion="plain_focal"):
         "--dataset", "synthetic", "--train_semantic", "--criterion", criterion,
         "--batch_size", "2", "--compute_dtype", "float32",
         "--no_use_balanced_weights", "--lr", "1e-3",
+        # remat doubles CPU compile+run time and its exact semantics are
+        # covered by test_train_oracle; mechanics tests skip it
+        "--no_efficient",
     ])
 
 
@@ -55,27 +58,13 @@ def _make_state(cfg, batch):
     return model, tx, state, labels
 
 
-def test_train_step_loss_decreases():
-    cfg = _tiny_cfg("plain_focal")
-    batch = _tiny_batch(cfg)
-    model, tx, state, _ = _make_state(cfg, batch)
-    step = jax.jit(make_train_step(model, cfg, tx))
-    rng = jax.random.PRNGKey(1)
-    losses = []
-    for _ in range(8):
-        state, metrics = step(state, batch, rng)
-        losses.append(float(metrics["total_loss"]))
-    assert losses[-1] < losses[0], losses
-    assert int(state.step) == 8
-    assert all(np.isfinite(losses))
-
-
-def test_frozen_groups_receive_no_updates():
-    """Reference behavior: weather_clf, projection head AND the seg head
-    never reach the ADAM optimizer (init_trainer.py:160-177 +
-    weathernet.py:100-102, which drops self.segmentation from
-    random_init_params); ours are 'frozen'-labeled. --train_seg_head opts the
-    head back in."""
+def test_train_step_optimizes_and_respects_frozen_groups():
+    """ONE compiled doubly-contrastive train step proves both mechanics:
+    the loss decreases over iterations, AND the reference's frozen groups
+    stay untouched — weather_clf, projection head and the seg head never
+    reach the ADAM optimizer (init_trainer.py:160-177 + weathernet.py:100-102,
+    which drops self.segmentation from random_init_params).
+    --train_seg_head opts the head back in (label-level check)."""
     cfg = _tiny_cfg("supcon_pixelcontrast_focal")
     batch = _tiny_batch(cfg)
     model, tx, state, labels = _make_state(cfg, batch)
@@ -85,7 +74,14 @@ def test_frozen_groups_receive_no_updates():
     before_proj = jax.tree_util.tree_map(np.asarray, state.params["projection"])
     before_seg = np.asarray(
         state.params["net"]["segmentation"]["conv"]["kernel"]).copy()
-    state, _ = step(state, batch, jax.random.PRNGKey(1))
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch, rng)
+        losses.append(float(metrics["total_loss"]))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 8
+    assert all(np.isfinite(losses))
     after_clf = state.params["weather_clf"]
     after_proj = state.params["projection"]
     for b, a in zip(jax.tree_util.tree_leaves(before_clf),
@@ -98,16 +94,19 @@ def test_frozen_groups_receive_no_updates():
     np.testing.assert_array_equal(
         before_seg, np.asarray(state.params["net"]["segmentation"]["conv"]["kernel"]))
 
-    # ... and moves when opted back in via --train_seg_head
-    cfg2 = _tiny_cfg("plain_focal")
-    cfg2.train_seg_head = True
-    model2, tx2, state2, labels2 = _make_state(cfg2, _tiny_batch(cfg2))
-    step2 = jax.jit(make_train_step(model2, cfg2, tx2))
-    before2 = np.asarray(
-        state2.params["net"]["segmentation"]["conv"]["kernel"]).copy()
-    state2, _ = step2(state2, _tiny_batch(cfg2), jax.random.PRNGKey(1))
-    assert not np.array_equal(
-        before2, np.asarray(state2.params["net"]["segmentation"]["conv"]["kernel"]))
+    # ... and is labeled back into the optimized group via --train_seg_head
+    # (label check only — the optimizer honoring labels is proven above)
+    cfg.train_seg_head = True
+    labels2 = label_params_for_optimizer(state.params, cfg)
+    assert labels2["net"]["segmentation"]["conv"]["kernel"] == "random_init"
+    assert labels["net"]["segmentation"]["conv"]["kernel"] == "frozen"
+    # SGD policy trains the head regardless (reference filters the full
+    # named_parameters list there)
+    cfg.train_seg_head = False
+    cfg.optimizer_policy = "SGD"
+    labels3 = label_params_for_optimizer(state.params, cfg)
+    assert labels3["net"]["segmentation"]["conv"]["kernel"] == "random_init"
+    cfg.optimizer_policy = "ADAM"
 
 
 def test_checkpoint_roundtrip(tmp_path):
