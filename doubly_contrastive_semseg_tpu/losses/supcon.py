@@ -20,6 +20,13 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+# Above this many anchors (N = 2B), the plain-XLA path's N×N f32 similarity
+# matrix alone exceeds a v5e's 16 GB HBM (N=49152 → 9.7 GB before the exp /
+# mask temporaries) and the computation routes through the tiled Pallas
+# kernel, whose VMEM footprint is O(tile²) independent of N. Below it XLA
+# is equal-or-faster (measured table: ops/contrastive_pallas.py docstring).
+PALLAS_MIN_N = 49_152
+
 
 def _row_l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
     """torch ``F.normalize(x)`` default: v / max(||v||_2, eps) along dim 1."""
@@ -33,6 +40,7 @@ def supcon_loss(
     *,
     temperature: float = 0.07,
     base_temperature: float = 0.07,
+    use_pallas: Optional[bool] = None,
 ) -> jax.Array:
     """SupCon (labels given) or SimCLR (labels None) over two views.
 
@@ -41,9 +49,19 @@ def supcon_loss(
         reference does NOT L2-normalize the embeddings themselves.
       labels: (B,) int class ids (weather condition) or None for SimCLR
         (reference ``trainer.py:117-128``).
+      use_pallas: None = route by size (N ≥ PALLAS_MIN_N → tiled kernel;
+        the N×N matrix no longer fits in HBM there); True/False forces.
 
     Returns scalar loss (mean over all 2B anchors).
     """
+    if use_pallas is None:
+        use_pallas = (2 * features.shape[0] >= PALLAS_MIN_N
+                      and jax.default_backend() not in ("cpu",))
+    if use_pallas:
+        from ..ops.contrastive_pallas import supcon_loss_pallas
+
+        return supcon_loss_pallas(features, labels, temperature=temperature,
+                                  base_temperature=base_temperature)
     features = features.astype(jnp.float32)
     bsz = features.shape[0]
     if labels is None:

@@ -177,12 +177,6 @@ class PyramidResNet(nn.Module):
         stem_kernel = _StemKernel((k_s2d, k_s2d, 12, 64), name="conv1")()
         stem_bns = [_StemBN(dtype=self.dtype, name=f"bn1_{i}")
                     for i in range(self.pyramid_levels)]
-        # Stem kernel history: a fused Pallas stem (round 1) and a W-folded
-        # MXU form (round 2, kernel (4,3,96,512)) were both measured against
-        # XLA's plain lowering of the 4×4/s1 12→64 conv — XLA ties or wins
-        # at every pyramid level (8.2 vs 7.9 ms at L0 batch-8; the conv is
-        # utilization-bound either way). The plain conv below IS the tuned
-        # form; don't re-litigate without beating it end to end.
         stage_planes = (64, 128, 256, 512)
         stages = []
         for si, (planes, n_blocks) in enumerate(zip(stage_planes, self.layers)):
@@ -205,6 +199,13 @@ class PyramidResNet(nn.Module):
         additional: Dict[str, Any] = {"pyramid": pyramid}
 
         for idx, p in enumerate(pyramid):  # p is already the s2d stem input
+            # Stem kernel history (measured, don't re-litigate without a new
+            # idea): (a) fused Pallas stem (round 1) and (b) W-folded MXU
+            # form (round 2) both tie-or-lose to XLA's plain lowering;
+            # (c) phase-expanded stride-2 form (5,5,12,256) + slice-max pool
+            # (round 3): conv alone isolated 7.4 vs 8.8 ms, but the phase
+            # pool's 6 padded slice-maxes don't fuse (+4.4 ms) — end-to-end
+            # 190 vs 209 fps. The plain conv below IS the tuned form.
             x = jax.lax.conv_general_dilated(
                 p, stem_kernel.astype(p.dtype), (1, 1), [pad_s2d, pad_s2d],
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))

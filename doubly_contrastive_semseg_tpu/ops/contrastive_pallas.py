@@ -1,10 +1,12 @@
-"""Fused tiled contrastive loss — Pallas TPU kernel.
+"""Fused tiled contrastive loss — Pallas TPU kernels.
 
-The BASELINE north-star: compute SupCon-style losses from (N, D) embeddings
-without materializing the full N×N similarity matrix in HBM. At the
-reference's scale (N = 2·bsz = 16 image-level, ≤ 2·B·19 pixel anchors) a
-plain XLA einsum is fine — this kernel is for the large-N regime (dense
-per-pixel contrast, big global batches) where N×N no longer fits.
+Compute SupCon-style losses from (N, D) embeddings without materializing the
+full N×N similarity matrix in HBM. At the reference's scale (N = 2·bsz = 16
+image-level, ≤ 2·B·19 pixel anchors) a plain XLA einsum is fine — this
+kernel is for the large-N regime (dense per-pixel contrast, big global
+batches) where N×N no longer fits: on a 16 GB v5e the XLA path dies at
+N = 65 536 (the f32 similarity matrix alone is 17 GB) while this kernel's
+VMEM footprint is O(tile²), independent of N.
 
 The computation (shared by ``losses/supcon.py`` and the
 ``losses/pixel_contrast.py`` contrast stage, reference ``utils/loss.py:
@@ -13,14 +15,30 @@ L = (Z Zᵀ)/τ:
   1. m_i   = max over valid columns            (stability shift)
   2. n_i   = ‖row_i − m_i‖₂ over valid columns (the reference's row-L2 tweak)
   3. s_i   = Σ_valid exp(l̂_ij),  p_i = Σ_pos l̂_ij,  c_i = Σ_pos 1
-with l̂_ij = (l_ij − m_i)/n_i. The kernel runs a grid over row tiles and
-streams column tiles through VMEM, carrying (m, n, s, p, c) — the similarity
-tile Z_r Z_cᵀ is computed on the MXU three times (cheap; D ≤ 256) instead of
-ever being written to HBM.
+with l̂_ij = (l_ij − m_i)/n_i. The row-L2 normalization makes the classic
+one-sweep online-softmax rescaling inapplicable (the exponent is divided by
+a statistic that is only final after a full row pass), so the kernel runs
+THREE flash-attention-style sweeps — grid (row_tiles, col_tiles), column
+blocks streamed through VMEM by the Pallas pipeline, accumulators carried in
+VMEM scratch across the column dimension, outputs written at the last column
+step. The similarity tile Z_r Z_cᵀ is recomputed on the MXU each sweep
+(cheap; D ≤ 256) instead of ever being written to HBM.
 
 loss_i = −(τ/τ_b) · (p_i − c_i·log s_i) / c_i   (SimCLR/SupCon log-prob form
 with the full-denominator variant; the pixel-contrast explicit-negative
 variant differs only in which columns enter s_i — controlled by ``neg_mode``).
+
+Measured on v5e (scripts/bench_contrastive.py, D=128, f32):
+      N      XLA      Pallas
+   8192    4.8 ms     5.4 ms
+  16384   15.8 ms    17.0 ms
+  32768   58.6 ms    66.0 ms
+  65536      OOM      360 ms
+ 131072      OOM     1494 ms
+XLA is ~10% faster wherever its N x N matrix fits; the kernel's regime is
+FEASIBILITY, not speed — so the default routing (losses/supcon.py
+PALLAS_MIN_N) keeps XLA below the HBM cliff and switches to the kernel
+where XLA cannot run at all.
 """
 
 from __future__ import annotations
@@ -40,82 +58,96 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(z_ref, lab_ref, valid_ref, zt_ref, labt_ref, validt_ref,
-            out_p_ref, out_c_ref, out_s_ref, out_m_ref, out_n_ref,
-            *, tile_n: int, num_col_tiles: int, inv_temp: float, neg_mode: bool):
-    """Row-tile program: three streaming passes over column tiles."""
-    r = pl.program_id(0)
-    row_base = r * tile_n
+def _tile_parts(zr, labr, validr, zc, labc, validc, r, c, tile_n, inv_temp):
+    """Shared per-(row,col)-tile pieces: logits, pair validity, positives."""
+    logits = jax.lax.dot_general(
+        zr, zc, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * inv_temp
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_n, tile_n), 0) + r * tile_n
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_n, tile_n), 1) + c * tile_n
+    not_self = (row_ids != col_ids).astype(jnp.float32)
+    vpair = validr * validc.reshape(1, tile_n)
+    same = (labr == labc.reshape(1, tile_n)).astype(jnp.float32) * vpair
+    pos = same * not_self
+    return logits, vpair, pos, not_self
 
-    z = z_ref[:]                       # (tile_n, D)
-    lab = lab_ref[:]                   # (tile_n, 1) fp32 labels
-    valid = valid_ref[:]               # (tile_n, 1) fp32 validity
 
-    n_total = num_col_tiles * tile_n
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_n, tile_n), 0) + row_base
+def _max_kernel(zr_ref, labr_ref, validr_ref, zc_ref, labc_ref, validc_ref,
+                out_m_ref, acc, *, tile_n: int, num_col_tiles: int,
+                inv_temp: float):
+    r, c = pl.program_id(0), pl.program_id(1)
 
-    def col_tile(c):
-        zc = zt_ref[pl.ds(c * tile_n, tile_n), :]
-        labc = labt_ref[pl.ds(c * tile_n, tile_n), :]
-        validc = validt_ref[pl.ds(c * tile_n, tile_n), :]
-        logits = jax.lax.dot_general(
-            z, zc, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * inv_temp
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_n, tile_n), 1) + c * tile_n
-        not_self = (row_ids != col_ids).astype(jnp.float32)
-        vpair = valid * validc.reshape(1, tile_n)
-        same = (lab == labc.reshape(1, tile_n)).astype(jnp.float32) * vpair
-        pos = same * not_self
-        return logits, vpair, pos, not_self
+    @pl.when(c == 0)
+    def _init():
+        acc[:] = jnp.full_like(acc, NEG_BIG)
 
-    # pass 1: row max over valid columns
-    def max_body(c, m):
-        logits, vpair, _, _ = col_tile(c)
-        masked = jnp.where(vpair > 0, logits, NEG_BIG)
-        return jnp.maximum(m, jnp.max(masked, axis=1, keepdims=True))
+    logits, vpair, _, _ = _tile_parts(
+        zr_ref[:], labr_ref[:], validr_ref[:], zc_ref[:], labc_ref[:],
+        validc_ref[:], r, c, tile_n, inv_temp)
+    masked = jnp.where(vpair > 0, logits, NEG_BIG)
+    acc[:] = jnp.maximum(acc[:], jnp.max(masked, axis=1, keepdims=True))
 
-    m = jax.lax.fori_loop(0, num_col_tiles, max_body,
-                          jnp.full((tile_n, 1), NEG_BIG, jnp.float32))
+    @pl.when(c == num_col_tiles - 1)
+    def _emit():
+        out_m_ref[:] = acc[:]
 
-    # pass 2: row L2 norm of (logits - m) over valid columns
-    def norm_body(c, acc):
-        logits, vpair, _, _ = col_tile(c)
-        shifted = jnp.where(vpair > 0, logits - m, 0.0)
-        return acc + jnp.sum(shifted * shifted, axis=1, keepdims=True)
 
-    sq = jax.lax.fori_loop(0, num_col_tiles, norm_body,
-                           jnp.zeros((tile_n, 1), jnp.float32))
-    norm = jnp.maximum(jnp.sqrt(sq), 1e-12)
+def _norm_kernel(zr_ref, labr_ref, validr_ref, m_ref,
+                 zc_ref, labc_ref, validc_ref,
+                 out_n_ref, acc, *, tile_n: int, num_col_tiles: int,
+                 inv_temp: float):
+    r, c = pl.program_id(0), pl.program_id(1)
 
-    # pass 3: denominators and positive sums
-    def sum_body(c, carry):
-        s, p, cnt = carry
-        logits, vpair, pos, not_self = col_tile(c)
-        lhat = jnp.where(vpair > 0, (logits - m) / norm, 0.0)
-        e = jnp.exp(lhat)
-        if neg_mode:
-            # pixel-contrast denominator: negatives only (loss.py:376-381);
-            # the elementwise exp(l̂_ij) term is added on the host side
-            neg = (1.0 - (pos + (1.0 - not_self) * vpair)) * vpair
-            s = s + jnp.sum(e * neg, axis=1, keepdims=True)
-        else:
-            # supcon denominator: all valid non-self columns (loss.py:196-197)
-            s = s + jnp.sum(e * vpair * not_self, axis=1, keepdims=True)
-        p = p + jnp.sum(lhat * pos, axis=1, keepdims=True)
-        cnt = cnt + jnp.sum(pos, axis=1, keepdims=True)
-        return s, p, cnt
+    @pl.when(c == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
 
-    s, p, cnt = jax.lax.fori_loop(
-        0, num_col_tiles, sum_body,
-        (jnp.zeros((tile_n, 1), jnp.float32),
-         jnp.zeros((tile_n, 1), jnp.float32),
-         jnp.zeros((tile_n, 1), jnp.float32)))
+    logits, vpair, _, _ = _tile_parts(
+        zr_ref[:], labr_ref[:], validr_ref[:], zc_ref[:], labc_ref[:],
+        validc_ref[:], r, c, tile_n, inv_temp)
+    shifted = jnp.where(vpair > 0, logits - m_ref[:], 0.0)
+    acc[:] = acc[:] + jnp.sum(shifted * shifted, axis=1, keepdims=True)
 
-    out_p_ref[:] = p
-    out_c_ref[:] = cnt
-    out_s_ref[:] = s
-    out_m_ref[:] = m
-    out_n_ref[:] = norm
+    @pl.when(c == num_col_tiles - 1)
+    def _emit():
+        out_n_ref[:] = jnp.maximum(jnp.sqrt(acc[:]), 1e-12)
+
+
+def _sums_kernel(zr_ref, labr_ref, validr_ref, m_ref, n_ref,
+                 zc_ref, labc_ref, validc_ref,
+                 out_s_ref, out_p_ref, out_c_ref, acc_s, acc_p, acc_c,
+                 *, tile_n: int, num_col_tiles: int, inv_temp: float,
+                 neg_mode: bool):
+    r, c = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _init():
+        acc_s[:] = jnp.zeros_like(acc_s)
+        acc_p[:] = jnp.zeros_like(acc_p)
+        acc_c[:] = jnp.zeros_like(acc_c)
+
+    logits, vpair, pos, not_self = _tile_parts(
+        zr_ref[:], labr_ref[:], validr_ref[:], zc_ref[:], labc_ref[:],
+        validc_ref[:], r, c, tile_n, inv_temp)
+    lhat = jnp.where(vpair > 0, (logits - m_ref[:]) / n_ref[:], 0.0)
+    e = jnp.exp(lhat)
+    if neg_mode:
+        # pixel-contrast denominator: negatives only (loss.py:376-381);
+        # the elementwise exp(l̂_ij) term is added on the host side
+        neg = (1.0 - (pos + (1.0 - not_self) * vpair)) * vpair
+        acc_s[:] = acc_s[:] + jnp.sum(e * neg, axis=1, keepdims=True)
+    else:
+        # supcon denominator: all valid non-self columns (loss.py:196-197)
+        acc_s[:] = acc_s[:] + jnp.sum(e * vpair * not_self, axis=1,
+                                      keepdims=True)
+    acc_p[:] = acc_p[:] + jnp.sum(lhat * pos, axis=1, keepdims=True)
+    acc_c[:] = acc_c[:] + jnp.sum(pos, axis=1, keepdims=True)
+
+    @pl.when(c == num_col_tiles - 1)
+    def _emit():
+        out_s_ref[:] = acc_s[:]
+        out_p_ref[:] = acc_p[:]
+        out_c_ref[:] = acc_c[:]
 
 
 def contrastive_row_stats(
@@ -145,34 +177,51 @@ def contrastive_row_stats(
         valid.astype(jnp.float32))
 
     num_tiles = n_pad // tile_n
-    kernel = functools.partial(
-        _kernel, tile_n=tile_n, num_col_tiles=num_tiles,
-        inv_temp=1.0 / temperature, neg_mode=neg_mode)
+    grid = (num_tiles, num_tiles)
 
-    grid_spec = pl.GridSpec(
-        grid=(num_tiles,),
-        in_specs=[
-            pl.BlockSpec((tile_n, d_pad), lambda r: (r, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, 1), lambda r: (r, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, 1), lambda r: (r, 0), memory_space=pltpu.VMEM),
-            # full column copies stay resident (N_pad × D ≤ a few MB)
-            pl.BlockSpec((n_pad, d_pad), lambda r: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_pad, 1), lambda r: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_pad, 1), lambda r: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((tile_n, 1), lambda r: (r, 0), memory_space=pltpu.VMEM)
-            for _ in range(5)
-        ],
-    )
-    outs = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((n_pad, 1), jnp.float32) for _ in range(5)],
-        interpret=interpret,
+    def row_spec(width):
+        return pl.BlockSpec((tile_n, width), lambda r, c: (r, 0),
+                            memory_space=pltpu.VMEM)
+
+    def col_spec(width):
+        return pl.BlockSpec((tile_n, width), lambda r, c: (c, 0),
+                            memory_space=pltpu.VMEM)
+
+    out_spec = pl.BlockSpec((tile_n, 1), lambda r, c: (r, 0),
+                            memory_space=pltpu.VMEM)
+    oshape = jax.ShapeDtypeStruct((n_pad, 1), jnp.float32)
+    scr = pltpu.VMEM((tile_n, 1), jnp.float32)
+    common = dict(tile_n=tile_n, num_col_tiles=num_tiles,
+                  inv_temp=1.0 / temperature)
+
+    m = pl.pallas_call(
+        functools.partial(_max_kernel, **common),
+        grid=grid,
+        in_specs=[row_spec(d_pad), row_spec(1), row_spec(1),
+                  col_spec(d_pad), col_spec(1), col_spec(1)],
+        out_specs=out_spec, out_shape=oshape,
+        scratch_shapes=[scr], interpret=interpret,
     )(zp, labp, validp, zp, labp, validp)
-    p, cnt, s, m, norm = [o[:n, 0] for o in outs]
-    return p, cnt, s, m, norm
+
+    norm = pl.pallas_call(
+        functools.partial(_norm_kernel, **common),
+        grid=grid,
+        in_specs=[row_spec(d_pad), row_spec(1), row_spec(1), row_spec(1),
+                  col_spec(d_pad), col_spec(1), col_spec(1)],
+        out_specs=out_spec, out_shape=oshape,
+        scratch_shapes=[scr], interpret=interpret,
+    )(zp, labp, validp, m, zp, labp, validp)
+
+    s, p, cnt = pl.pallas_call(
+        functools.partial(_sums_kernel, neg_mode=neg_mode, **common),
+        grid=grid,
+        in_specs=[row_spec(d_pad), row_spec(1), row_spec(1), row_spec(1),
+                  row_spec(1), col_spec(d_pad), col_spec(1), col_spec(1)],
+        out_specs=[out_spec] * 3, out_shape=[oshape] * 3,
+        scratch_shapes=[scr] * 3, interpret=interpret,
+    )(zp, labp, validp, m, norm, zp, labp, validp)
+
+    return (p[:n, 0], cnt[:n, 0], s[:n, 0], m[:n, 0], norm[:n, 0])
 
 
 def supcon_loss_pallas(
