@@ -15,6 +15,19 @@ from .transforms import (
     RandomAffine,
     RandomErasing,
 )
+from .stereo_transforms import (
+    LabelDistanceTransform,
+    RandomBrightness,
+    RandomColor,
+    RandomContrast,
+    RandomGamma,
+    RandomHue,
+    RandomSaturation,
+    StereoRandomCrop,
+    StereoRandomVerticalFlip,
+    StereoToNumpy,
+    StereoToPIL,
+)
 from .acdc import ACDC, CITYSCAPES_ID_TO_TRAIN_ID, TRAIN_ID_TO_COLOR, WEATHER_DICT
 from .acdc_city import ACDC_City
 from .cityscapes import Cityscapes

@@ -114,3 +114,135 @@ def test_wandb_bridge_with_stub(tmp_path, monkeypatch):
     import json as _json
     rows = [_json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
     assert rows[-1]["tag"] == "train/total_loss" and rows[-1]["value"] == 1.25
+
+
+def _stereo_sample(h=40, w=56, seed=0):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 255, (h, w, 3)).astype(np.float32)
+    return {
+        "left": img.copy(),
+        "right": np.roll(img, 3, axis=1),
+        "disp": rng.uniform(0, 8, (h, w)).astype(np.float32),
+        "label": rng.integers(0, 5, (h, w)).astype(np.uint8),
+    }
+
+
+def test_stereo_photometrics_pair_symmetric_and_pil_exact():
+    """Reference dataloaders/transforms.py:173-258: one draw applied to BOTH
+    eyes; the adjustments are torchvision's PIL backend — checked against
+    PIL.ImageEnhance / the uint8-HSV rotate / the truncating gamma LUT."""
+    from PIL import Image, ImageEnhance
+
+    from doubly_contrastive_semseg_tpu.data.stereo_transforms import (
+        RandomColor, adjust_brightness, adjust_gamma, adjust_hue)
+
+    rng = np.random.default_rng(1)
+    img = Image.fromarray(rng.integers(0, 255, (24, 32, 3)).astype(np.uint8))
+
+    # brightness IS ImageEnhance.Brightness
+    np.testing.assert_array_equal(
+        np.asarray(adjust_brightness(img, 1.3)),
+        np.asarray(ImageEnhance.Brightness(img).enhance(1.3)))
+
+    # gamma LUT: truncating 255*(x/255)^g
+    g = 0.8
+    got = np.asarray(adjust_gamma(img, g))
+    want = (255.0 * (np.arange(256) / 255.0) ** g).astype(np.int64)
+    np.testing.assert_array_equal(got, want[np.asarray(img)])
+
+    # hue: equals the verbatim uint8-HSV round trip (torchvision's PIL
+    # backend — the quantization loss is part of the reference semantics)
+    rt = np.asarray(adjust_hue(img, 0.0))
+    want_rt = np.asarray(Image.merge(
+        "HSV", img.convert("HSV").split()).convert("RGB"))
+    np.testing.assert_array_equal(rt, want_rt)
+
+    # RandomColor applies the identical draw to both eyes: equal inputs in,
+    # equal outputs out — across many random configurations
+    for seed in range(6):
+        s = _stereo_sample(seed=seed)
+        s["right"] = s["left"].copy()
+        out = RandomColor(rng=np.random.default_rng(seed))(dict(s))
+        np.testing.assert_array_equal(out["left"], out["right"])
+        assert out["left"].dtype == np.float32
+
+
+def test_stereo_random_crop_and_flip():
+    """StereoRandomCrop (reference transforms.py:63-133 + fork RandomCrop2):
+    top/right zero-pad when smaller (labels take label_pad), one shared
+    offset across all keys when larger; center crop in validate mode.
+    StereoRandomVerticalFlip flips every key together."""
+    from doubly_contrastive_semseg_tpu.data.stereo_transforms import (
+        StereoRandomCrop, StereoRandomVerticalFlip)
+
+    s = _stereo_sample()
+    # pad path (48 > 40 rows): top pad, right pad; label filled with 255
+    out = StereoRandomCrop(48, 64, label_pad=255)(dict(s))
+    assert out["left"].shape == (48, 64, 3)
+    np.testing.assert_array_equal(out["left"][8:, :56], s["left"])
+    assert (out["left"][:8] == 0).all() and (out["left"][:, 56:] == 0).all()
+    assert (out["label"][:8] == 255).all()
+    assert (out["disp"][:8] == 0).all()
+
+    # crop path: shared offset — the left/label crops stay aligned
+    rng = np.random.default_rng(3)
+    out = StereoRandomCrop(16, 24, rng=rng)(dict(s))
+    assert out["left"].shape == (16, 24, 3)
+    pos = None
+    for oy in range(40 - 16 + 1):
+        for ox in range(56 - 24 + 1):
+            if np.array_equal(s["left"][oy:oy + 16, ox:ox + 24], out["left"]):
+                pos = (oy, ox)
+    assert pos is not None
+    oy, ox = pos
+    np.testing.assert_array_equal(s["label"][oy:oy + 16, ox:ox + 24], out["label"])
+    np.testing.assert_array_equal(s["disp"][oy:oy + 16, ox:ox + 24], out["disp"])
+
+    # validate => center crop
+    out = StereoRandomCrop(16, 24, validate=True)(dict(s))
+    np.testing.assert_array_equal(s["left"][12:28, 16:40], out["left"])
+
+    # flip: all keys flip together (p forced via rng that draws < 0.5 first)
+    out = StereoRandomVerticalFlip(p=1.1)(dict(s))
+    np.testing.assert_array_equal(out["left"], s["left"][::-1])
+    np.testing.assert_array_equal(out["disp"], s["disp"][::-1])
+    np.testing.assert_array_equal(out["label"], s["label"][::-1])
+
+
+def test_label_distance_transform_binned_alphas():
+    """Fork custom_transforms.py:1664-1695: per-class L2 EDT (maskSize=5),
+    summed, digitized into bins with per-bin alphas, zero at ignore."""
+    import cv2
+
+    from doubly_contrastive_semseg_tpu.data.stereo_transforms import (
+        LabelDistanceTransform)
+
+    rng = np.random.default_rng(0)
+    labels = rng.integers(0, 3, (32, 32)).astype(np.uint8)
+    labels[:4, :4] = 255
+
+    t = LabelDistanceTransform(num_classes=3, reduce=True)
+    out = t({"label": labels.copy()})
+    alphas = out["label_distance_alphas"]
+    assert alphas.shape == labels.shape
+    assert (alphas[labels == 255] == 0).all()
+    assert set(np.unique(alphas)) <= {0.0, 8.0, 6.0, 4.0, 2.0, 1.0}
+
+    # verbatim recomputation of the reference math
+    dist = np.zeros((3,) + labels.shape, np.float32) - 1.0
+    for i in range(3):
+        m = labels == i
+        if m.any():
+            dist[i][m] = cv2.distanceTransform(np.uint8(m), cv2.DIST_L2, 5)[m]
+    dist[dist < 0] = 0
+    d = dist.sum(0)
+    bins = np.digitize(d, (4, 16, 64, 128))
+    want = np.zeros_like(d)
+    for idx, a in enumerate((8.0, 6.0, 4.0, 2.0, 1.0)):
+        want[bins == idx] = a
+    want[labels == 255] = 0
+    np.testing.assert_array_equal(alphas, want)
+
+    # reduce=False keeps the per-class stack
+    out2 = LabelDistanceTransform(num_classes=3)({"label": labels.copy()})
+    assert out2["label_distance_transform"].shape == (3,) + labels.shape
