@@ -96,8 +96,22 @@ def _masked_contrastive(
     base_temperature: float,
 ) -> jax.Array:
     """Reference ``_contrastive`` (``loss.py:339-389``) with a validity mask
-    standing in for the dynamically-sized anchor list."""
+    standing in for the dynamically-sized anchor list.
+
+    Above ``PALLAS_MIN_N`` total rows (dense per-pixel contrast regimes; the
+    flagship recipe's B×19-anchor grid never comes close) the N×N logits
+    matrix no longer fits in HBM and the computation streams through the
+    tiled Pallas kernel instead (``ops/contrastive_pallas.py``,
+    value-matched against this function)."""
     a, v, d = feats.shape
+    from .supcon import PALLAS_MIN_N
+
+    if a * v >= PALLAS_MIN_N and jax.default_backend() not in ("cpu",):
+        from ..ops.contrastive_pallas import pixel_contrast_loss_pallas
+
+        return pixel_contrast_loss_pallas(
+            feats, labels, valid, temperature=temperature,
+            base_temperature=base_temperature)
     n = a * v
 
     same = (labels[:, None] == labels[None, :]).astype(jnp.float32)

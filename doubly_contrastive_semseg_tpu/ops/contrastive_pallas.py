@@ -24,9 +24,13 @@ VMEM scratch across the column dimension, outputs written at the last column
 step. The similarity tile Z_r Z_cᵀ is recomputed on the MXU each sweep
 (cheap; D ≤ 256) instead of ever being written to HBM.
 
-loss_i = −(τ/τ_b) · (p_i − c_i·log s_i) / c_i   (SimCLR/SupCon log-prob form
-with the full-denominator variant; the pixel-contrast explicit-negative
-variant differs only in which columns enter s_i — controlled by ``neg_mode``).
+loss_i = −(τ/τ_b) · (p_i − c_i·log s_i) / c_i   (SimCLR/SupCon log-prob form).
+The pixel-contrast variant (``pixel_contrast_loss_pallas``) adds a FOURTH
+sweep: its per-pair denominator log(exp(l̂_ij) + Σ_neg exp) depends on each
+positive's own l̂_ij, so with (m, n, s) final the last pass accumulates
+q_i = Σ_pos [l̂_ij − log(exp(l̂_ij) + s_i)] directly (``_pc_kernel``);
+value-matched against ``_masked_contrastive`` (itself oracle-matched to the
+torch reference).
 
 Measured on v5e (scripts/bench_contrastive.py, D=128, f32):
       N      XLA      Pallas
@@ -150,6 +154,37 @@ def _sums_kernel(zr_ref, labr_ref, validr_ref, m_ref, n_ref,
         out_c_ref[:] = acc_c[:]
 
 
+def _pc_kernel(zr_ref, labr_ref, validr_ref, m_ref, n_ref, s_ref,
+               zc_ref, labc_ref, validc_ref,
+               out_q_ref, out_c_ref, acc_q, acc_c,
+               *, tile_n: int, num_col_tiles: int, inv_temp: float):
+    """Pixel-contrast positive-sum pass (4th sweep): with the row stats
+    (m, n, s=Σ_neg exp) final, accumulate
+        q_i = Σ_pos [ l̂_ij − log(exp(l̂_ij) + s_i) ]
+    — the reference's per-pair log-denominator (loss.py:376-385), which is a
+    function of each positive's own l̂_ij and therefore cannot be assembled
+    from row sums alone."""
+    r, c = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _init():
+        acc_q[:] = jnp.zeros_like(acc_q)
+        acc_c[:] = jnp.zeros_like(acc_c)
+
+    logits, vpair, pos, _ = _tile_parts(
+        zr_ref[:], labr_ref[:], validr_ref[:], zc_ref[:], labc_ref[:],
+        validc_ref[:], r, c, tile_n, inv_temp)
+    lhat = jnp.where(vpair > 0, (logits - m_ref[:]) / n_ref[:], 0.0)
+    log_prob = lhat - jnp.log(jnp.exp(lhat) + s_ref[:])
+    acc_q[:] = acc_q[:] + jnp.sum(log_prob * pos, axis=1, keepdims=True)
+    acc_c[:] = acc_c[:] + jnp.sum(pos, axis=1, keepdims=True)
+
+    @pl.when(c == num_col_tiles - 1)
+    def _emit():
+        out_q_ref[:] = acc_q[:]
+        out_c_ref[:] = acc_c[:]
+
+
 def contrastive_row_stats(
     z: jax.Array,        # (N, D) embeddings (two-view rows already stacked)
     labels: jax.Array,   # (N,) int
@@ -246,3 +281,76 @@ def supcon_loss_pallas(
     mean_log_prob_pos = (p - cnt * jnp.log(s)) / jnp.maximum(cnt, 1.0)
     loss = -(temperature / base_temperature) * mean_log_prob_pos
     return jnp.mean(loss)
+
+
+def pixel_contrast_loss_pallas(
+    feats: jax.Array,    # (A, V, D) anchor features
+    labels: jax.Array,   # (A,) int class ids
+    valid: jax.Array,    # (A,) bool anchor validity
+    *,
+    temperature: float = 0.07,
+    base_temperature: float = 0.07,
+    tile_n: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Drop-in fused version of ``losses.pixel_contrast._masked_contrastive``
+    for the large-anchor regime (dense per-pixel contrast): never
+    materializes the N×N logits matrix. Four streaming sweeps: max → row-L2
+    norm → negative denominator → per-positive log-prob sum."""
+    a, v, d = feats.shape
+    z = jnp.concatenate([feats[:, i, :] for i in range(v)], axis=0)
+    labv = jnp.tile(labels.reshape(-1).astype(jnp.int32), (v,))
+    validv = jnp.tile(valid.reshape(-1), (v,))
+
+    n = a * v
+    n_pad = _round_up(max(n, tile_n), tile_n)
+    d_pad = _round_up(d, 128)
+    zp = jnp.zeros((n_pad, d_pad), jnp.float32).at[:n, :d].set(
+        z.astype(jnp.float32))
+    labp = jnp.full((n_pad, 1), -1.0, jnp.float32).at[:n, 0].set(
+        labv.astype(jnp.float32))
+    validp = jnp.zeros((n_pad, 1), jnp.float32).at[:n, 0].set(
+        validv.astype(jnp.float32))
+
+    # sweeps 1-3 (neg_mode): shared row statistics
+    p_, cnt_, s, m, norm = contrastive_row_stats(
+        z, labv, validv, temperature=temperature, neg_mode=True,
+        tile_n=tile_n, interpret=interpret)
+    del p_, cnt_
+    mp = jnp.zeros((n_pad, 1), jnp.float32).at[:n, 0].set(m)
+    np_ = jnp.ones((n_pad, 1), jnp.float32).at[:n, 0].set(norm)
+    sp = jnp.zeros((n_pad, 1), jnp.float32).at[:n, 0].set(s)
+
+    num_tiles = n_pad // tile_n
+    grid = (num_tiles, num_tiles)
+
+    def row_spec(width):
+        return pl.BlockSpec((tile_n, width), lambda r, c: (r, 0),
+                            memory_space=pltpu.VMEM)
+
+    def col_spec(width):
+        return pl.BlockSpec((tile_n, width), lambda r, c: (c, 0),
+                            memory_space=pltpu.VMEM)
+
+    out_spec = pl.BlockSpec((tile_n, 1), lambda r, c: (r, 0),
+                            memory_space=pltpu.VMEM)
+    oshape = jax.ShapeDtypeStruct((n_pad, 1), jnp.float32)
+    scr = pltpu.VMEM((tile_n, 1), jnp.float32)
+
+    q, cnt = pl.pallas_call(
+        functools.partial(_pc_kernel, tile_n=tile_n, num_col_tiles=num_tiles,
+                          inv_temp=1.0 / temperature),
+        grid=grid,
+        in_specs=[row_spec(d_pad), row_spec(1), row_spec(1), row_spec(1),
+                  row_spec(1), row_spec(1),
+                  col_spec(d_pad), col_spec(1), col_spec(1)],
+        out_specs=[out_spec] * 2, out_shape=[oshape] * 2,
+        scratch_shapes=[scr] * 2, interpret=interpret,
+    )(zp, labp, validp, mp, np_, sp, zp, labp, validp)
+    q, cnt = q[:n, 0], cnt[:n, 0]
+
+    per_anchor = -(temperature / base_temperature) * q / jnp.maximum(cnt, 1.0)
+    row_ok = (validv > 0) & (cnt > 0)
+    denom = jnp.maximum(jnp.sum(row_ok), 1)
+    loss = jnp.sum(jnp.where(row_ok, per_anchor, 0.0)) / denom
+    return jnp.where(jnp.sum(row_ok) > 0, loss, 0.0)

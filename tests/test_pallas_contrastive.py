@@ -31,3 +31,23 @@ def test_pallas_supcon_large_n(rng):
     want = float(supcon_loss(f, labels))
     got = float(supcon_loss_pallas(f, labels, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_pallas_pixel_contrast_matches_masked_contrastive(rng):
+    """The 4-sweep pixel-contrast kernel vs losses.pixel_contrast.
+    _masked_contrastive (itself value+gradient oracle-matched against the
+    torch reference): per-pair log-denominator semantics, validity masking,
+    multiple column tiles."""
+    from doubly_contrastive_semseg_tpu.losses.pixel_contrast import (
+        _masked_contrastive)
+    from doubly_contrastive_semseg_tpu.ops.contrastive_pallas import (
+        pixel_contrast_loss_pallas)
+
+    for a_n, n_valid in [(9, 9), (80, 61), (140, 120)]:  # 1 and 3 col tiles
+        feats = jnp.asarray(rng.standard_normal((a_n, 2, 32)).astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, 5, (a_n,)))
+        valid = jnp.asarray(np.arange(a_n) < n_valid)
+        want = float(_masked_contrastive(feats, labels, valid, 0.07, 0.07))
+        got = float(pixel_contrast_loss_pallas(feats, labels, valid,
+                                               interpret=True))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
