@@ -106,12 +106,14 @@ class GrainDataLoader:
         return None
 
     def set_state(self, state: bytes) -> None:
-        """Apply to the live iterator, or defer to the next ``__iter__``
-        (the checkpoint-restore path: the loader has not started yet)."""
-        if self._last_iter is not None and hasattr(self._last_iter, "set_state"):
-            self._last_iter.set_state(state)
-        else:
-            self._pending_state = state
+        """Defer the position to the next ``__iter__``.
+
+        The checkpoint-restore path runs before the epoch loop constructs
+        its iterator; applying the state to an already-live iterator here
+        would target the wrong one (e.g. the abandoned model-init sample
+        iterator) and the restored position would be silently discarded
+        when the epoch loop starts a fresh iterator."""
+        self._pending_state = state
 
 
 def make_loader(kind: str, dataset, batch_size: int, **kw):

@@ -372,7 +372,15 @@ class RandomAffine:
 
         # torchvision _get_inverse_affine_matrix: invert M = T·C·R·Shear·S
         # analytically (det of the unscaled 2×2 block is exactly 1).
-        cx, cy = w * 0.5, h * 0.5
+        # Center uses the torchvision-0.4.0 PIL convention (w/2+0.5, h/2+0.5)
+        # — the version the reference pins (environment.yaml: torchvision=
+        # 0.4.0), whose F.affine is what the fork's RandomAffine calls — so
+        # shear-free draws are byte-exact vs the pinned environment. The
+        # shear math itself follows the CORRECTED modern formula (0.4.0's
+        # shear matrix scaled the second row by 1/cos(shear), a bug fixed in
+        # later torchvision; do-not-replicate per SURVEY "known defects"
+        # policy).
+        cx, cy = w * 0.5 + 0.5, h * 0.5 + 0.5
         a = math.cos(angle - shy) / math.cos(shy)
         b = -math.cos(angle - shy) * math.tan(shx) / math.cos(shy) - math.sin(angle)
         c = math.sin(angle - shy) / math.cos(shy)

@@ -115,12 +115,18 @@ class Trainer:
                     # continue the SAME epoch at the exact batch position
                     self.cur_epochs = int(meta.get("epoch", 0))
                     self.train_loader.set_state(meta["loader_state"])
+                    # continue the counter exactly: the loop pre-increments,
+                    # so the first resumed batch logs as saved+1, the same
+                    # iteration an uninterrupted run would have used
+                    self.num_iter = int(meta.get("num_iter", 0))
                     logging.info("mid-epoch loader position restored "
                                  "(epoch %d resumes at the saved batch)",
                                  self.cur_epochs)
                 else:
                     self.cur_epochs = int(meta.get("epoch", -1)) + 1
-                self.num_iter = int(meta.get("num_iter", 0)) + 1
+                    # reference parity: init_trainer.py:254 restores
+                    # checkpoint['num_iter'] + 1 (and its loop pre-increments)
+                    self.num_iter = int(meta.get("num_iter", 0)) + 1
                 self.best_score = float(meta.get("best_score", 0.0))
                 self.best_score_epoch = int(meta.get("best_score_epoch", -1))
                 logging.info("Training state restored from %s (epoch %d)",
@@ -188,9 +194,18 @@ class Trainer:
 
     # ------------------------------------------------------------------ data
     def _sample_batch(self) -> Dict:
-        """One real batch for model init (shapes only)."""
-        loader = self.val_loader if self.cfg.test_only else self.train_loader
-        batch = next(iter(loader))
+        """One batch for model init (shapes only) — collated straight from
+        the dataset so no loader iterator is spun up and abandoned before
+        training starts (a grain iterator would leak its worker pool, and a
+        prematurely-created iterator would swallow a restored mid-epoch
+        position)."""
+        from ..data.loader import collate
+
+        if self.cfg.test_only:
+            dst, bs = self.val_dst, self.cfg.val_batch_size
+        else:
+            dst, bs = self.train_dst, self.cfg.batch_size
+        batch = collate([dst[0]] * bs)
         return self._device_batch(batch)
 
     def _device_batch(self, batch: Dict) -> Dict:

@@ -287,7 +287,10 @@ def test_random_affine_matrix_oracle():
         sx = math.radians(shear4[0] + 0.75 * (shear4[1] - shear4[0]))
         sy = math.radians(shear4[2] + 0.75 * (shear4[3] - shear4[2]))
         T = np.array([[1, 0, tx], [0, 1, ty], [0, 0, 1.0]])
-        C = np.array([[1, 0, w * 0.5], [0, 1, h * 0.5], [0, 0, 1.0]])
+        # torchvision-0.4.0 PIL center convention (w/2+0.5, h/2+0.5) — what
+        # the reference's pinned F.affine uses (see transforms.py::_matrix)
+        C = np.array([[1, 0, w * 0.5 + 0.5], [0, 1, h * 0.5 + 0.5],
+                      [0, 0, 1.0]])
         R = np.array([[math.cos(angle), -math.sin(angle), 0],
                       [math.sin(angle), math.cos(angle), 0], [0, 0, 1.0]])
         SHy = np.array([[1, 0, 0], [-math.tan(sy), 1, 0], [0, 0, 1.0]])
@@ -373,7 +376,11 @@ def test_grain_loader_mid_epoch_resume(tmp_path):
     assert meta["loader_state"] == state
 
     dl2 = make_loader()                     # fresh process analog
-    dl2.set_state(meta["loader_state"])     # applied before __iter__
+    # reproduce the Trainer init sequence: a model-init sample batch pulls
+    # (and abandons) an iterator BEFORE the checkpoint restore — set_state
+    # must defer to the next __iter__, not hit the abandoned iterator
+    next(iter(dl2))
+    dl2.set_state(meta["loader_state"])     # applied before the epoch loop
     resumed = list(dl2)
     assert len(resumed) == len(full) - 2
     for want, got in zip(full[2:], resumed):
