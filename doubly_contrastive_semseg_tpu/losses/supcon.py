@@ -20,12 +20,15 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-# Above this many anchors (N = 2B), the plain-XLA path's N×N f32 similarity
-# matrix alone exceeds a v5e's 16 GB HBM (N=49152 → 9.7 GB before the exp /
-# mask temporaries) and the computation routes through the tiled Pallas
-# kernel, whose VMEM footprint is O(tile²) independent of N. Below it XLA
-# is equal-or-faster (measured table: ops/contrastive_pallas.py docstring).
-PALLAS_MIN_N = 49_152
+# Above this many anchors (N = 2B), the computation routes through the tiled
+# Pallas kernel, whose VMEM footprint is O(tile²) independent of N. 32768 is
+# the largest N the plain-XLA path was MEASURED to survive on a 16 GB v5e
+# (its N×N f32 similarity matrix is 4.3 GB there; at 49152 that one buffer is
+# already 9.7 GB and with the exp/mask temporaries the live set exceeds HBM).
+# At or below the threshold XLA is equal-or-faster (measured table:
+# ops/contrastive_pallas.py docstring), so the routing switches exactly at
+# the last measured-safe size.
+PALLAS_MIN_N = 32_769
 
 
 def _row_l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:

@@ -43,6 +43,19 @@ XLA is ~10% faster wherever its N x N matrix fits; the kernel's regime is
 FEASIBILITY, not speed — so the default routing (losses/supcon.py
 PALLAS_MIN_N) keeps XLA below the HBM cliff and switches to the kernel
 where XLA cannot run at all.
+
+Both public losses are differentiable: reverse-mode AD cannot trace through
+``pallas_call``, and these losses only ever run inside ``value_and_grad``
+(they are training losses), so each carries a ``jax.custom_vjp`` whose
+forward is the Pallas sweeps (saving the O(N) row stats as residuals) and
+whose backward is a chunked ``lax.scan`` in plain XLA: each step recomputes
+one (chunk × N) logits slab from the MXU, forms the hand-derived
+∂L/∂logits — through the row-L2 normalization (gradient FLOWS through the
+norm, matching torch ``F.normalize``; the max shift is detached, matching
+``logits_max.detach()``) — and accumulates both the row-side and the
+transposed column-side contributions of dZ = (G + Gᵀ)Z/τ into an O(N·D)
+carry. Peak live memory is O(chunk·N), never N×N; gradients are verified
+against ``jax.grad`` of the XLA paths in tests/test_pallas_contrastive.py.
 """
 
 from __future__ import annotations
@@ -185,6 +198,19 @@ def _pc_kernel(zr_ref, labr_ref, validr_ref, m_ref, n_ref, s_ref,
         out_c_ref[:] = acc_c[:]
 
 
+def _pad_rows(z, labels, valid, n_pad, d_pad):
+    """Pad (N, D) embeddings + per-row labels/validity to kernel geometry:
+    padded rows get label −1 / valid 0 so they join no pair."""
+    n, d = z.shape
+    zp = jnp.zeros((n_pad, d_pad), jnp.float32).at[:n, :d].set(
+        z.astype(jnp.float32))
+    labp = jnp.full((n_pad, 1), -1.0, jnp.float32).at[:n, 0].set(
+        labels.astype(jnp.float32))
+    validp = jnp.zeros((n_pad, 1), jnp.float32).at[:n, 0].set(
+        valid.astype(jnp.float32))
+    return zp, labp, validp
+
+
 def contrastive_row_stats(
     z: jax.Array,        # (N, D) embeddings (two-view rows already stacked)
     labels: jax.Array,   # (N,) int
@@ -204,12 +230,7 @@ def contrastive_row_stats(
     n, d = z.shape
     n_pad = _round_up(max(n, tile_n), tile_n)
     d_pad = _round_up(d, 128)
-    zp = jnp.zeros((n_pad, d_pad), jnp.float32).at[:n, :d].set(
-        z.astype(jnp.float32))
-    labp = jnp.full((n_pad, 1), -1.0, jnp.float32).at[:n, 0].set(
-        labels.astype(jnp.float32))
-    validp = jnp.zeros((n_pad, 1), jnp.float32).at[:n, 0].set(
-        valid.astype(jnp.float32))
+    zp, labp, validp = _pad_rows(z, labels, valid, n_pad, d_pad)
 
     num_tiles = n_pad // tile_n
     grid = (num_tiles, num_tiles)
@@ -259,62 +280,167 @@ def contrastive_row_stats(
     return (p[:n, 0], cnt[:n, 0], s[:n, 0], m[:n, 0], norm[:n, 0])
 
 
+# --------------------------------------------------------------------------
+# Backward pass (shared): chunked recompute of dZ = (G + Gᵀ) Z / τ
+# --------------------------------------------------------------------------
+
+_BWD_CHUNK = 256  # rows per slab; peak live memory ≈ few × chunk·N f32
+
+
+def _dz_via_chunks(z, labf, validf, m, norm, row_stats, ghat_fn, inv_temp,
+                   chunk=_BWD_CHUNK):
+    """dL/dZ for a row-L2-normalized contrastive loss, never holding N×N.
+
+    ``ghat_fn(lhat, pos, same, vpair, not_self, stats_chunk) -> Ĝ`` supplies
+    the loss-specific ∂L/∂L̂ for one (chunk, N) slab (the slab covers FULL
+    rows, so per-row reductions over all columns are available). The shared
+    chain here is the normalization transpose — gradient flows through
+    n_i = max(‖row‖₂, ε) (norm branch; matches ``F.normalize``) while the
+    max shift m_i is detached:
+        G = vpair · (Ĝ − L̂ · ⟨Ĝ, L̂⟩_row) / n
+    and dZ accumulates both sides of the symmetric product:
+        dZ = (G + Gᵀ) Z / τ
+    — the row side emitted per chunk, the column side (GᵀZ) summed into an
+    O(N·D) scan carry. ``row_stats`` is a tuple of per-row (N,) arrays the
+    loss needs (already cotangent-scaled)."""
+    n, d = z.shape
+    p_rows = _round_up(max(n, chunk), chunk)
+    zp, labp, validp = _pad_rows(z, labf, validf, p_rows, d)
+    labp, validp = labp[:, 0], validp[:, 0]
+    mp = jnp.zeros((p_rows,), jnp.float32).at[:n].set(m)
+    np_ = jnp.ones((p_rows,), jnp.float32).at[:n].set(norm)
+    stats_p = tuple(jnp.zeros((p_rows,), jnp.float32).at[:n].set(
+        sarr.astype(jnp.float32)) for sarr in row_stats)
+
+    c_chunks = p_rows // chunk
+    col_ids = jnp.arange(p_rows)
+
+    def step(acc, inp):
+        idx, zc, labc, vc, mc, nc, stats_c = inp
+        slab = jax.lax.dot_general(
+            zc, zp, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * inv_temp
+        rows = idx * chunk + jnp.arange(chunk)
+        not_self = (rows[:, None] != col_ids[None, :]).astype(jnp.float32)
+        vpair = vc[:, None] * validp[None, :]
+        same = (labc[:, None] == labp[None, :]).astype(jnp.float32) * vpair
+        pos = same * not_self
+        lhat = jnp.where(vpair > 0, (slab - mc[:, None]) / nc[:, None], 0.0)
+        ghat = ghat_fn(lhat, pos, same, vpair, not_self, stats_c)
+        r = jnp.sum(ghat * lhat, axis=1)
+        gmat = vpair * (ghat - lhat * r[:, None]) / nc[:, None]
+        acc = acc + jax.lax.dot_general(
+            gmat, zc, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * inv_temp
+        row_contrib = (gmat @ zp) * inv_temp
+        return acc, row_contrib
+
+    inputs = (jnp.arange(c_chunks),
+              zp.reshape(c_chunks, chunk, d),
+              labp.reshape(c_chunks, chunk),
+              validp.reshape(c_chunks, chunk),
+              mp.reshape(c_chunks, chunk),
+              np_.reshape(c_chunks, chunk),
+              tuple(sarr.reshape(c_chunks, chunk) for sarr in stats_p))
+    acc, row_side = jax.lax.scan(step, jnp.zeros_like(zp), inputs)
+    dz = row_side.reshape(p_rows, d) + acc
+    return dz[:n]
+
+
+# --------------------------------------------------------------------------
+# SupCon / SimCLR (custom-VJP core over flattened (N, D) rows)
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _supcon_core(z, labf, validf, temperature, base_temperature, tile_n,
+                 interpret):
+    loss, _ = _supcon_core_fwd(z, labf, validf, temperature, base_temperature,
+                               tile_n, interpret)
+    return loss
+
+
+def _supcon_core_fwd(z, labf, validf, temperature, base_temperature, tile_n,
+                     interpret):
+    p, cnt, s, m, norm = contrastive_row_stats(
+        z, labf, validf, temperature=temperature, tile_n=tile_n,
+        interpret=interpret)
+    mean_log_prob_pos = ((p - cnt * jnp.log(jnp.maximum(s, 1e-30)))
+                         / jnp.maximum(cnt, 1.0))
+    loss = jnp.mean(-(temperature / base_temperature) * mean_log_prob_pos)
+    return loss, (z, labf, validf, cnt, s, m, norm)
+
+
+def _supcon_core_bwd(temperature, base_temperature, tile_n, interpret,
+                     res, ct):
+    z, labf, validf, cnt, s, m, norm = res
+    n = z.shape[0]
+    # ∂loss/∂L̂_ij = coef_i · (pos_ij − (c_i/s_i)·e^{l̂_ij}·[j≠i]·vpair_ij)
+    coef = (ct * (-(temperature / base_temperature)) / n
+            / jnp.maximum(cnt, 1.0)) * (validf > 0)
+    inv_s = cnt / jnp.maximum(s, 1e-30)
+
+    def ghat_fn(lhat, pos, same, vpair, not_self, stats):
+        coef_c, inv_s_c = stats
+        e = jnp.exp(lhat)
+        return coef_c[:, None] * (
+            pos - inv_s_c[:, None] * e * not_self * vpair)
+
+    dz = _dz_via_chunks(z, labf, validf, m, norm, (coef, inv_s), ghat_fn,
+                        1.0 / temperature)
+    return dz.astype(z.dtype), jnp.zeros_like(labf), jnp.zeros_like(validf)
+
+
+_supcon_core.defvjp(_supcon_core_fwd, _supcon_core_bwd)
+
+
 def supcon_loss_pallas(
     features: jax.Array,                 # (B, 2, D)
     labels: Optional[jax.Array] = None,  # (B,) or None (SimCLR)
     *,
     temperature: float = 0.07,
     base_temperature: float = 0.07,
+    tile_n: int = 128,
     interpret: bool = False,
 ) -> jax.Array:
-    """Drop-in fused version of ``losses.supcon.supcon_loss``."""
+    """Drop-in fused version of ``losses.supcon.supcon_loss`` (differentiable
+    via the hand-derived chunked VJP — see module docstring)."""
     b = features.shape[0]
-    z = jnp.concatenate([features[:, 0], features[:, 1]], axis=0)
+    z = jnp.concatenate(
+        [features[:, 0], features[:, 1]], axis=0).astype(jnp.float32)
     if labels is None:
         lab = jnp.arange(b, dtype=jnp.int32)
     else:
         lab = labels.reshape(-1).astype(jnp.int32)
-    lab2 = jnp.concatenate([lab, lab], axis=0)
-    valid = jnp.ones((2 * b,), bool)
-    p, cnt, s, _, _ = contrastive_row_stats(
-        z, lab2, valid, temperature=temperature, interpret=interpret)
-    mean_log_prob_pos = (p - cnt * jnp.log(s)) / jnp.maximum(cnt, 1.0)
-    loss = -(temperature / base_temperature) * mean_log_prob_pos
-    return jnp.mean(loss)
+    labf = jnp.concatenate([lab, lab], axis=0).astype(jnp.float32)
+    validf = jnp.ones((2 * b,), jnp.float32)
+    return _supcon_core(z, labf, validf, temperature, base_temperature,
+                        tile_n, interpret)
 
 
-def pixel_contrast_loss_pallas(
-    feats: jax.Array,    # (A, V, D) anchor features
-    labels: jax.Array,   # (A,) int class ids
-    valid: jax.Array,    # (A,) bool anchor validity
-    *,
-    temperature: float = 0.07,
-    base_temperature: float = 0.07,
-    tile_n: int = 128,
-    interpret: bool = False,
-) -> jax.Array:
-    """Drop-in fused version of ``losses.pixel_contrast._masked_contrastive``
-    for the large-anchor regime (dense per-pixel contrast): never
-    materializes the N×N logits matrix. Four streaming sweeps: max → row-L2
-    norm → negative denominator → per-positive log-prob sum."""
-    a, v, d = feats.shape
-    z = jnp.concatenate([feats[:, i, :] for i in range(v)], axis=0)
-    labv = jnp.tile(labels.reshape(-1).astype(jnp.int32), (v,))
-    validv = jnp.tile(valid.reshape(-1), (v,))
+# --------------------------------------------------------------------------
+# Pixel contrast (custom-VJP core over flattened (N, D) rows)
+# --------------------------------------------------------------------------
 
-    n = a * v
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _pc_core(z, labf, validf, temperature, base_temperature, tile_n,
+             interpret):
+    loss, _ = _pc_core_fwd(z, labf, validf, temperature, base_temperature,
+                           tile_n, interpret)
+    return loss
+
+
+def _pc_core_fwd(z, labf, validf, temperature, base_temperature, tile_n,
+                 interpret):
+    n, d = z.shape
     n_pad = _round_up(max(n, tile_n), tile_n)
     d_pad = _round_up(d, 128)
-    zp = jnp.zeros((n_pad, d_pad), jnp.float32).at[:n, :d].set(
-        z.astype(jnp.float32))
-    labp = jnp.full((n_pad, 1), -1.0, jnp.float32).at[:n, 0].set(
-        labv.astype(jnp.float32))
-    validp = jnp.zeros((n_pad, 1), jnp.float32).at[:n, 0].set(
-        validv.astype(jnp.float32))
+    zp, labp, validp = _pad_rows(z, labf, validf, n_pad, d_pad)
 
     # sweeps 1-3 (neg_mode): shared row statistics
     p_, cnt_, s, m, norm = contrastive_row_stats(
-        z, labv, validv, temperature=temperature, neg_mode=True,
+        z, labf, validf, temperature=temperature, neg_mode=True,
         tile_n=tile_n, interpret=interpret)
     del p_, cnt_
     mp = jnp.zeros((n_pad, 1), jnp.float32).at[:n, 0].set(m)
@@ -350,7 +476,59 @@ def pixel_contrast_loss_pallas(
     q, cnt = q[:n, 0], cnt[:n, 0]
 
     per_anchor = -(temperature / base_temperature) * q / jnp.maximum(cnt, 1.0)
-    row_ok = (validv > 0) & (cnt > 0)
+    row_ok = (validf > 0) & (cnt > 0)
     denom = jnp.maximum(jnp.sum(row_ok), 1)
     loss = jnp.sum(jnp.where(row_ok, per_anchor, 0.0)) / denom
-    return jnp.where(jnp.sum(row_ok) > 0, loss, 0.0)
+    loss = jnp.where(jnp.sum(row_ok) > 0, loss, 0.0)
+    return loss, (z, labf, validf, cnt, s, m, norm)
+
+
+def _pc_core_bwd(temperature, base_temperature, tile_n, interpret, res, ct):
+    z, labf, validf, cnt, s, m, norm = res
+    row_ok = (validf > 0) & (cnt > 0)
+    denom = jnp.maximum(jnp.sum(row_ok), 1).astype(jnp.float32)
+    # ∂loss/∂L̂_ij (per-pair denominator D_ij = e^{l̂_ij} + s_i):
+    #   positives:  w_i · (1 − e_ij/D_ij)
+    #   negatives:  −w_i · e_ij · t_i,   t_i = Σ_pos 1/D_ik  (in-slab)
+    w = jnp.where(row_ok,
+                  ct * (-(temperature / base_temperature))
+                  / (denom * jnp.maximum(cnt, 1.0)), 0.0)
+
+    def ghat_fn(lhat, pos, same, vpair, not_self, stats):
+        w_c, s_c = stats
+        e = jnp.exp(lhat)
+        dmat = e + s_c[:, None]
+        t = jnp.sum(pos / dmat, axis=1)
+        neg = (1.0 - same) * vpair
+        return w_c[:, None] * (pos * (1.0 - e / dmat) - neg * e * t[:, None])
+
+    dz = _dz_via_chunks(z, labf, validf, m, norm, (w, s), ghat_fn,
+                        1.0 / temperature)
+    return dz.astype(z.dtype), jnp.zeros_like(labf), jnp.zeros_like(validf)
+
+
+_pc_core.defvjp(_pc_core_fwd, _pc_core_bwd)
+
+
+def pixel_contrast_loss_pallas(
+    feats: jax.Array,    # (A, V, D) anchor features
+    labels: jax.Array,   # (A,) int class ids
+    valid: jax.Array,    # (A,) bool anchor validity
+    *,
+    temperature: float = 0.07,
+    base_temperature: float = 0.07,
+    tile_n: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Drop-in fused version of ``losses.pixel_contrast._masked_contrastive``
+    for the large-anchor regime (dense per-pixel contrast): never
+    materializes the N×N logits matrix. Four streaming sweeps: max → row-L2
+    norm → negative denominator → per-positive log-prob sum. Differentiable
+    via the hand-derived chunked VJP (module docstring)."""
+    v = feats.shape[1]
+    z = jnp.concatenate(
+        [feats[:, i, :] for i in range(v)], axis=0).astype(jnp.float32)
+    labf = jnp.tile(labels.reshape(-1).astype(jnp.float32), (v,))
+    validf = jnp.tile(valid.reshape(-1).astype(jnp.float32), (v,))
+    return _pc_core(z, labf, validf, temperature, base_temperature,
+                    tile_n, interpret)

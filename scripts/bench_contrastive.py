@@ -52,11 +52,29 @@ def main():
     from doubly_contrastive_semseg_tpu.ops.contrastive_pallas import (
         supcon_loss_pallas)
 
+    grad_mode = "--grad" in sys.argv
+
     d = 128
     dev = jax.devices()[0]
-    print(f"device: {dev}")
+    print(f"device: {dev}  mode: {'value_and_grad' if grad_mode else 'fwd'}")
     print(f"{'N (=2B)':>9} {'xla ms':>9} {'pallas ms':>10} {'speedup':>8}  "
           f"NxN bf16 MB")
+
+    def xla_fn(f, l):
+        loss = supcon_loss(f, l, use_pallas=False)   # force: measure true XLA
+        return loss
+
+    def pallas_fn(f, l):
+        return supcon_loss_pallas(f, l)
+
+    if grad_mode:
+        # grad wrt features only (labels are int): the Pallas path runs the
+        # custom-VJP chunked backward, XLA runs autodiff of the N x N graph
+        xla_t = jax.value_and_grad(xla_fn)
+        pallas_t = jax.value_and_grad(pallas_fn)
+    else:
+        xla_t, pallas_t = xla_fn, pallas_fn
+
     for n in (512, 1024, 4096, 8192, 16384, 32768, 65536):
         b = n // 2
         key = jax.random.PRNGKey(0)
@@ -65,22 +83,32 @@ def main():
         labels = jax.device_put(
             jnp.asarray(np.random.default_rng(0).integers(0, 4, (b,))), dev)
         try:
-            t_x = timeit(lambda f, l: supcon_loss(f, l), (feats, labels))
+            t_x = timeit(xla_t, (feats, labels))
         except Exception as e:
             t_x = float("nan")
             print(f"xla failed at N={n}: {type(e).__name__}", file=sys.stderr)
         try:
-            t_p = timeit(lambda f, l: supcon_loss_pallas(f, l), (feats, labels))
+            t_p = timeit(pallas_t, (feats, labels))
         except Exception as e:
             t_p = float("nan")
             print(f"pallas failed at N={n}: {type(e).__name__}", file=sys.stderr)
         mb = n * n * 2 / 1e6
-        print(f"{n:>9} {t_x:>9.3f} {t_p:>10.3f} {t_x / t_p:>8.2f}x  {mb:10.1f}")
+        print(f"{n:>9} {t_x:>9.3f} {t_p:>10.3f} {t_x / t_p:>8.2f}x  {mb:10.1f}",
+              flush=True)
 
-        # value agreement at every scale we claim a win for
-        va = float(supcon_loss(feats, labels))
-        vb = float(supcon_loss_pallas(feats, labels))
-        assert abs(va - vb) / max(abs(va), 1e-6) < 2e-4, (n, va, vb)
+        # agreement at every scale we claim a win for
+        if not (np.isnan(t_x) or np.isnan(t_p)):
+            if grad_mode:
+                va, ga = jax.jit(xla_t)(feats, labels)
+                vb, gb = jax.jit(pallas_t)(feats, labels)
+                ga, gb = np.asarray(ga), np.asarray(gb)
+                rel = np.max(np.abs(ga - gb)) / (np.max(np.abs(ga)) + 1e-30)
+                assert rel < 1e-4, (n, rel)
+            else:
+                va = float(supcon_loss(feats, labels, use_pallas=False))
+                vb = float(supcon_loss_pallas(feats, labels))
+            assert abs(float(va) - float(vb)) / max(abs(float(va)), 1e-6) \
+                < 2e-4, (n, float(va), float(vb))
 
 
 if __name__ == "__main__":
