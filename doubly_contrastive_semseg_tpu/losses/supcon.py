@@ -21,14 +21,14 @@ import jax
 import jax.numpy as jnp
 
 # Above this many anchors (N = 2B), the computation routes through the tiled
-# Pallas kernel, whose VMEM footprint is O(tile²) independent of N. 32768 is
-# the largest N the plain-XLA path was MEASURED to survive on a 16 GB v5e
-# (its N×N f32 similarity matrix is 4.3 GB there; at 49152 that one buffer is
-# already 9.7 GB and with the exp/mask temporaries the live set exceeds HBM).
-# At or below the threshold XLA is equal-or-faster (measured table:
-# ops/contrastive_pallas.py docstring), so the routing switches exactly at
-# the last measured-safe size.
-PALLAS_MIN_N = 32_769
+# Pallas kernel, whose VMEM footprint is O(tile²) independent of N. These are
+# training losses, so the threshold sits at the measured value_and_grad
+# crossover on a v5e: from N = 8192 the kernel + chunked custom-VJP beats
+# XLA autodiff by 1.14-1.18× and keeps winning until XLA's N×N graph OOMs
+# outright at 65536 (full table: ops/contrastive_pallas.py docstring).
+# Forward-only XLA stays ~10% faster up to 32768, but forward-only is not a
+# production mode for these losses.
+PALLAS_MIN_N = 8_192
 
 
 def _row_l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:

@@ -33,16 +33,18 @@ value-matched against ``_masked_contrastive`` (itself oracle-matched to the
 torch reference).
 
 Measured on v5e (scripts/bench_contrastive.py, D=128, f32):
-      N      XLA      Pallas
-   8192    4.8 ms     5.4 ms
-  16384   15.8 ms    17.0 ms
-  32768   58.6 ms    66.0 ms
-  65536      OOM      360 ms
- 131072      OOM     1494 ms
-XLA is ~10% faster wherever its N x N matrix fits; the kernel's regime is
-FEASIBILITY, not speed — so the default routing (losses/supcon.py
-PALLAS_MIN_N) keeps XLA below the HBM cliff and switches to the kernel
-where XLA cannot run at all.
+  forward only:                      value_and_grad (--grad):
+      N      XLA      Pallas             XLA     Pallas+VJP
+   8192    4.8 ms     5.4 ms          6.6 ms     5.8 ms  (1.14x)
+  16384   15.8 ms    17.0 ms         22.9 ms    19.5 ms  (1.18x)
+  32768   58.6 ms    66.0 ms         87.6 ms    76.0 ms  (1.15x)
+  65536      OOM      360 ms            OOM      371 ms
+ 131072      OOM     1494 ms (fwd)
+Forward-only XLA is ~10% faster wherever its N x N matrix fits, but these
+are TRAINING losses — under value_and_grad (the only production mode) the
+kernel + chunked VJP wins from N = 8192 up and extends feasibility past
+XLA's autodiff OOM at 65536. The default routing (losses/supcon.py
+PALLAS_MIN_N) therefore switches at the measured training crossover.
 
 Both public losses are differentiable: reverse-mode AD cannot trace through
 ``pallas_call``, and these losses only ever run inside ``value_and_grad``
