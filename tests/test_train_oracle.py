@@ -307,3 +307,48 @@ def test_train_step_matches_reference(tmp_path, class_weight, criterion,
             return x
 
         jax.tree_util.tree_map_with_path(visit_bs, got.batch_stats, want_bs)
+
+
+@pytest.mark.slow
+def test_train_trajectory_envelope(tmp_path, class_weight):
+    """25-step trajectory envelope on the focal branch: beyond ~5 steps,
+    elementwise parity is gone by construction (Adam's first-step update is
+    ±lr·g/(|g|+eps); sub-noise-floor gradients land a full ±lr apart and the
+    param clouds separate chaotically) — but a wrong BN semantic, group
+    fan-out, LR schedule, or weight-decay placement shifts the LOSS CURVE
+    systematically, not stochastically. Assert per-step losses stay inside a
+    geometrically-loosening envelope and both runs descend into the same
+    neighbourhood: the strongest available proxy for the env-blocked
+    ACDC-mIoU bar, on top of the exact 1/5-step oracle above."""
+    n_steps = 25
+    batches = _batches(n_steps, seed=11)
+    ref_snaps, _ = _run_reference(batches, class_weight, criterion="none",
+                                  snapshot_at=(n_steps,))
+
+    cfg, model, tx, state = _ours_setup(ref_snaps[0], tmp_path, "none")
+    _, our_losses = _run_ours(cfg, model, tx, state, batches, class_weight)
+
+    ref = np.array([_REF_LOSSES[("none", i)] for i in range(n_steps)])
+    ours = np.array([our_losses[i] for i in range(n_steps)])
+    rel = np.abs(ours - ref) / np.maximum(np.abs(ref), 1.0)
+
+    # per-step envelope: f32-exact at step 0, loosening geometrically with
+    # the accumulated Adam sign-noise; systematically-wrong semantics
+    # (single-vs-double BN update, missing lr/4 group, AdamW-style decay)
+    # blow through this within a few steps
+    env = 1e-4 * (1.6 ** np.arange(n_steps))
+    bad = np.nonzero(rel > np.maximum(env, 0.0))[0]
+    assert bad.size == 0, (
+        f"loss left the envelope at steps {bad.tolist()}: "
+        f"rel={rel[bad].round(5).tolist()} "
+        f"(ref={ref[bad].round(4).tolist()}, ours={ours[bad].round(4).tolist()})")
+
+    # same descent neighbourhood: tail means agree within 5%, and both
+    # descended by a comparable factor
+    tail_ref, tail_ours = ref[-5:].mean(), ours[-5:].mean()
+    assert abs(tail_ours - tail_ref) / tail_ref < 0.05, \
+        f"tail loss {tail_ours:.4f} vs reference {tail_ref:.4f}"
+    drop_ref = ref[0] / tail_ref
+    drop_ours = ours[0] / tail_ours
+    assert abs(drop_ours - drop_ref) / drop_ref < 0.05, \
+        f"descent factor {drop_ours:.3f} vs reference {drop_ref:.3f}"
