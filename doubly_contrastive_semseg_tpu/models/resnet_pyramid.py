@@ -20,6 +20,7 @@ Layout is NHWC; compute dtype is configurable (bf16 on TPU); optional
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Sequence, Tuple
 
 import jax
@@ -141,6 +142,10 @@ class PyramidResNet(nn.Module):
     k_upsample: int = 3
     efficient: bool = False
     output_stride: int = 4
+    # eval-only fused Pallas stem (ops/stem_pallas.py): measured 1.45x the
+    # XLA conv+bn+relu+pool at the 2048x1024 serving shape; falls back to
+    # XLA whenever unsupported (CPU backend, training, odd shapes)
+    fuse_stem: bool = True
     mean: Tuple[float, float, float] = IMAGENET_MEAN
     std: Tuple[float, float, float] = IMAGENET_STD
     dtype: Dtype = jnp.float32
@@ -199,19 +204,38 @@ class PyramidResNet(nn.Module):
         additional: Dict[str, Any] = {"pyramid": pyramid}
 
         for idx, p in enumerate(pyramid):  # p is already the s2d stem input
-            # Stem kernel history (measured, don't re-litigate without a new
-            # idea): (a) fused Pallas stem (round 1) and (b) W-folded MXU
-            # form (round 2) both tie-or-lose to XLA's plain lowering;
-            # (c) phase-expanded stride-2 form (5,5,12,256) + slice-max pool
-            # (round 3): conv alone isolated 7.4 vs 8.8 ms, but the phase
-            # pool's 6 padded slice-maxes don't fuse (+4.4 ms) — end-to-end
-            # 190 vs 209 fps. The plain conv below IS the tuned form.
-            x = jax.lax.conv_general_dilated(
-                p, stem_kernel.astype(p.dtype), (1, 1), [pad_s2d, pad_s2d],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            x = stem_bns[idx](x, train=train)
-            x = nn.relu(x)
-            x = max_pool_3x3_s2(x)
+            # Stem kernel history (measured; see also ops/stem_pallas.py):
+            # (a) fused Pallas stem (round 1) and (b) W-folded MXU form
+            # (round 2) tie-or-lose to XLA; (c) phase-expanded stride-2 form
+            # + slice-max pool (round 3): conv wins isolated but the pool's
+            # padded slice-maxes don't fuse — 190 vs 209 fps. (d) The
+            # row-quad Pallas kernel with in-register pool epilogue (below)
+            # is the first WIN: 6.5 vs 9.4 ms isolated at L0 — used at eval
+            # on TPU; training and CPU keep the plain-XLA form.
+            from ..ops import stem_pallas
+
+            # not during init: bench/trainer init on the host CPU device
+            # (jax.default_device(cpu)) where Mosaic cannot lower; the XLA
+            # branch creates the identical param/stat tree
+            use_fused = (not train and self.fuse_stem
+                         and not self.is_initializing()
+                         and stem_pallas.supports(p)
+                         and (jax.default_backend() not in ("cpu",)
+                              or os.environ.get("DCSS_STEM_INTERPRET")))
+            if use_fused:
+                bn_scale, bn_bias, bn_mean, bn_var = stem_bns[idx]()
+                inv = jax.lax.rsqrt(bn_var + 1e-5)
+                x = stem_pallas.fused_stem_pool(
+                    p, stem_kernel, bn_scale * inv,
+                    bn_bias - bn_mean * bn_scale * inv,
+                    interpret=bool(os.environ.get("DCSS_STEM_INTERPRET")))
+            else:
+                x = jax.lax.conv_general_dilated(
+                    p, stem_kernel.astype(p.dtype), (1, 1), [pad_s2d, pad_s2d],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                x = stem_bns[idx](x, train=train)
+                x = nn.relu(x)
+                x = max_pool_3x3_s2(x)
             for j, blocks in enumerate(stages):
                 for blk in blocks:
                     x = blk(x, train, idx, len(pyramid))
