@@ -114,8 +114,10 @@ def stem_pool_reference(x_s2d: jax.Array, kernel: jax.Array,
 
 
 def supports(x_s2d: jax.Array) -> bool:
+    """Ragged heights are handled by padding to whole row-blocks and slicing
+    the output (e.g. ACDC-native 1920x1080: 270 pooled rows -> 9 blocks)."""
     b, h2, w2, c = x_s2d.shape
-    return c == 12 and w2 % 2 == 0 and h2 % 2 == 0 and (h2 // 2) % _P == 0
+    return c == 12 and w2 % 2 == 0 and h2 % 2 == 0 and h2 // 2 >= _P
 
 
 def fused_stem_pool(
@@ -131,10 +133,14 @@ def fused_stem_pool(
     plain XLA path otherwise."""
     b, h2, w2, _ = x_s2d.shape
     wf = w2 // 2
-    r_blocks = (h2 // 2) // _P
+    pooled_h = h2 // 2
+    r_blocks = -(-pooled_h // _P)  # ragged heights: pad up, slice output
 
     xf = x_s2d.reshape(b, h2, wf, 24)
-    xp = jnp.pad(xf, ((0, 0), (3, 1), (1, 1), (0, 8)))
+    # rows: (3, 1) conv/pool padding plus zero rows up to whole 64-row
+    # blocks — the garbage pooled rows they produce are sliced off below
+    pad_bot = 1 + (64 * r_blocks + 4) - (h2 + 4)
+    xp = jnp.pad(xf, ((0, 0), (3, pad_bot), (1, 1), (0, 8)))
     # overlapping 68-row blocks (stride 64), flattened to the grid dim
     xb = jnp.stack([xp[:, 64 * r:64 * r + 68] for r in range(r_blocks)], 1)
     xb = xb.reshape(b * r_blocks, 68, wf + 2, 32)
@@ -163,4 +169,4 @@ def fused_stem_pool(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xb, w384, sb)
-    return out.reshape(b, h2 // 2, wf, 64)
+    return out.reshape(b, r_blocks * _P, wf, 64)[:, :pooled_h]

@@ -15,7 +15,8 @@ from doubly_contrastive_semseg_tpu.ops.stem_pallas import (  # noqa: E402
 )
 
 
-@pytest.mark.parametrize("shape", [(1, 64, 32), (2, 128, 48)])
+@pytest.mark.parametrize("shape", [(1, 64, 32), (2, 128, 48),
+                                   (1, 108, 32), (1, 140, 48)])
 def test_stem_kernel_matches_reference(rng, shape):
     """conv4x4/s1 (pad (2,1)) + affine + ReLU + maxpool3x3/s2: the row-quad
     kernel must match the XLA composition, including the top block's pool
@@ -35,8 +36,9 @@ def test_stem_kernel_matches_reference(rng, shape):
 def test_stem_supports_gate():
     ok = jnp.zeros((1, 64, 32, 12))
     assert supports(ok)
+    assert supports(jnp.zeros((1, 540, 960, 12)))     # ACDC-native, ragged
     assert not supports(jnp.zeros((1, 64, 32, 3)))    # not s2d channels
-    assert not supports(jnp.zeros((1, 40, 32, 12)))   # pooled rows % 32 != 0
+    assert not supports(jnp.zeros((1, 40, 32, 12)))   # fewer rows than a block
 
 
 def test_model_fused_stem_equals_plain(rng):
