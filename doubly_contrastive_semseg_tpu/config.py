@@ -169,6 +169,7 @@ class Config:
     run_root: str = "run"
     host_augment: bool = True  # host PIL/cv2 pipeline (reference semantics); False = on-device augmentation
     loader: str = "thread"     # input pipeline: thread (prefetch pool) | grain (deterministic + checkpointable iterators)
+    fuse_stem: bool = True     # eval-only fused Pallas stem (ops/stem_pallas.py); --no_fuse_stem falls back to the XLA conv+bn+relu+pool
     trace: bool = False        # capture a jax.profiler device trace of the first epoch
     synthetic_size: int = 64   # synthetic dataset: #train samples
     synthetic_hw: str = "128x160"  # synthetic dataset: generated frame HxW
@@ -346,6 +347,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--run_root", type=str, default=d.run_root)
     _add_bool_flag(p, "host_augment", True)
     p.add_argument("--loader", type=str, default=d.loader, choices=["thread", "grain"])
+    _add_bool_flag(p, "fuse_stem", True)
     _add_bool_flag(p, "trace", False)
     p.add_argument("--synthetic_size", type=int, default=d.synthetic_size)
     p.add_argument("--synthetic_hw", type=str, default=d.synthetic_hw)

@@ -81,6 +81,7 @@ class WeatherNet(nn.Module):
     # reference hard-codes efficient=True (gradient checkpointing,
     # weathernet.py:43,48) — remat + torch's double BN-stat update quirk
     efficient: bool = True
+    fuse_stem: bool = True  # eval-only Pallas stem on the pyramid backbones
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -89,9 +90,11 @@ class WeatherNet(nn.Module):
                  depth: Optional[jax.Array] = None) -> Dict[str, jax.Array]:
         if self.backbone == "resnet18":
             fe = resnet18_pyramid(dtype=self.dtype, efficient=self.efficient,
+                                  fuse_stem=self.fuse_stem,
                                   name="feature_extractor")
         elif self.backbone == "resnet34":
             fe = resnet34_pyramid(dtype=self.dtype, efficient=self.efficient,
+                                  fuse_stem=self.fuse_stem,
                                   name="feature_extractor")
         elif self.backbone == "efficientnetb0":
             from .efficientnet_pyramid import PyramidEfficientNet
@@ -167,6 +170,7 @@ class DCSSModel(nn.Module):
     num_classes: int = 19
     weather_num: int = 4
     efficient: bool = True  # reference default (weathernet.py:43)
+    fuse_stem: bool = True  # eval-only Pallas stem (--no_fuse_stem disables)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -174,7 +178,8 @@ class DCSSModel(nn.Module):
                  return_supcon_feature: bool = False,
                  depth: Optional[jax.Array] = None) -> Dict[str, jax.Array]:
         net = WeatherNet(backbone=self.backbone, num_classes=self.num_classes,
-                         efficient=self.efficient, dtype=self.dtype, name="net")
+                         efficient=self.efficient, fuse_stem=self.fuse_stem,
+                         dtype=self.dtype, name="net")
         out = net(image, train=train, return_supcon_feature=return_supcon_feature,
                   depth=depth)
 
@@ -207,5 +212,6 @@ def build_model(cfg) -> nn.Module:
                      "resnet18_back"):
         return DCSSModel(backbone=cfg.model, num_classes=cfg.num_classes,
                          weather_num=cfg.weather_num,
-                         efficient=getattr(cfg, "efficient", True), dtype=dtype)
+                         efficient=getattr(cfg, "efficient", True),
+                         fuse_stem=getattr(cfg, "fuse_stem", True), dtype=dtype)
     raise NotImplementedError(f"model {cfg.model}")
