@@ -90,7 +90,10 @@ class InitialBlock(nn.Module):
         main = nn.Conv(self.out_channels - 3, (3, 3), strides=(2, 2),
                        padding=[(1, 1), (1, 1)], use_bias=False,
                        dtype=self.dtype, param_dtype=jnp.float32, name="main")(x)
-        ext = nn.max_pool(x, (2, 2), strides=(2, 2))
+        # reference enet.py:53: MaxPool2d(3, stride=2, padding=1) — a 3x3
+        # window, NOT the 2x2 of the downsampling bottlenecks; -inf padding
+        # matches torch's
+        ext = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         out = jnp.concatenate([main, ext], axis=-1)
         out = batch_norm(self.dtype, name="bn")(out, use_running_average=not train)
         return Act(self.relu, self.dtype, name="act")(out)
@@ -136,6 +139,9 @@ class RegularBottleneck(nn.Module):
 
         ext = nn.Conv(self.channels, (1, 1), **conv_kw, name="ext_conv3")(ext)
         ext = batch_norm(self.dtype, name="ext_bn3")(ext, use_running_average=not train)
+        # reference enet.py:186-192: ext_conv3 is Sequential(conv, BN,
+        # activation()) — the activation BEFORE dropout is part of the branch
+        ext = Act(self.relu, self.dtype, name="ext_act3")(ext)
         ext = nn.Dropout(self.dropout_prob, broadcast_dims=(1, 2),
                          deterministic=not train, name="ext_drop")(ext)
         return Act(self.relu, self.dtype, name="out_act")(x + ext)
@@ -170,6 +176,8 @@ class DownsamplingBottleneck(nn.Module):
         ext = Act(self.relu, self.dtype, name="ext_act2")(ext)
         ext = nn.Conv(self.out_channels, (1, 1), **conv_kw, name="ext_conv3")(ext)
         ext = batch_norm(self.dtype, name="ext_bn3")(ext, use_running_average=not train)
+        # reference enet.py:304-311: Sequential(conv, BN, activation())
+        ext = Act(self.relu, self.dtype, name="ext_act3")(ext)
         ext = nn.Dropout(self.dropout_prob, broadcast_dims=(1, 2),
                          deterministic=not train, name="ext_drop")(ext)
         out = Act(self.relu, self.dtype, name="out_act")(main + ext)
@@ -198,7 +206,9 @@ class UpsamplingBottleneck(nn.Module):
         ext = nn.Conv(inter, (1, 1), **conv_kw, name="ext_conv1")(x)
         ext = batch_norm(self.dtype, name="ext_bn1")(ext, use_running_average=not train)
         ext = Act(self.relu, self.dtype, name="ext_act1")(ext)
-        ext = nn.ConvTranspose(inter, (3, 3), strides=(2, 2), padding="SAME",
+        # reference enet.py:426-431: ConvTranspose2d(kernel_size=2, stride=2)
+        # — each input pixel expands to a disjoint 2x2 block (VALID, no crop)
+        ext = nn.ConvTranspose(inter, (2, 2), strides=(2, 2), padding="VALID",
                                **conv_kw, name="ext_tconv")(ext)
         ext = batch_norm(self.dtype, name="ext_bn2")(ext, use_running_average=not train)
         ext = Act(self.relu, self.dtype, name="ext_act2")(ext)
@@ -281,10 +291,14 @@ class ENet(nn.Module):
                                  name="upsample5_0")(x, idx1, train=train)
         x = RegularBottleneck(16, dropout_prob=0.1, relu=dr, dtype=dt,
                               name="regular5_1")(x, train=train)
+        # reference enet.py:576-583: ConvTranspose2d(k=3, s=2, p=1) with
+        # output_size=input → torch takes rows/cols 1..2H of the full
+        # (2H+1)-sized fractionally-strided conv; VALID + [1:] slice is
+        # bit-equal (see torch_convert._tconv_kernel)
         seg = nn.ConvTranspose(self.num_classes, (3, 3), strides=(2, 2),
-                               padding="SAME", use_bias=False, dtype=dt,
+                               padding="VALID", use_bias=False, dtype=dt,
                                param_dtype=jnp.float32, name="transposed_conv")(x)
-        seg = seg.astype(jnp.float32)
+        seg = seg[:, 1:, 1:, :].astype(jnp.float32)
 
         # fine_feat0 at 1/4 input resolution (deviation from enet.py:639 —
         # see module docstring)

@@ -39,16 +39,29 @@ IMAGENET_STD = (47.67, 48.49, 47.73)
 
 class _StemKernel(nn.Module):
     """Holds the s2d stem conv kernel at the checkpoint path
-    ``feature_extractor/conv1/kernel`` (instantiated with name='conv1')."""
+    ``feature_extractor/conv1/kernel`` (instantiated with name='conv1').
+
+    The stored 4×4×12 form covers an 8×8 dense footprint; the 15 slots per
+    (in, out) pair outside the dense 7×7 (reference ``resnet.py`` conv1) are
+    structurally zero. They are zeroed at init AND multiplied out in the
+    forward pass so their gradients vanish identically — otherwise training
+    would grow taps the torch reference cannot represent (caught by the SGD
+    train-step oracle)."""
 
     shape: Tuple[int, int, int, int] = (4, 4, 12, 64)
 
     @nn.compact
     def __call__(self) -> jax.Array:
-        return self.param(
-            "kernel",
-            nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
-            self.shape, jnp.float32)
+        from ..ops.input_pipeline import stem_s2d_mask
+
+        mask = jnp.asarray(stem_s2d_mask(7))
+        base = nn.initializers.variance_scaling(2.0, "fan_out",
+                                                "truncated_normal")
+
+        def init(key, shape, dtype):
+            return base(key, shape, dtype) * mask
+
+        return self.param("kernel", init, self.shape, jnp.float32) * mask
 
 
 class _StemBN(nn.Module):

@@ -120,6 +120,26 @@ def s2d_stem_geometry(k: int) -> Tuple[int, Tuple[int, int]]:
     return q_max - q_min + 1, (-q_min, q_max)
 
 
+def stem_s2d_mask(k: int, c: int = 3) -> np.ndarray:
+    """(k', k', 4c, 1) 0/1 mask of the s2d slots a dense k×k kernel can
+    occupy. The s2d form's footprint is a full 2k'×2k' square in the original
+    domain — larger than the dense k×k — so (4k'²−k²)·c slots per output
+    channel are structurally zero. Training must keep them zero (the torch
+    reference has no such taps to update), so the model multiplies the stored
+    kernel by this mask: their gradients vanish identically and the trained
+    function class matches the reference's dense stem exactly."""
+    p = k // 2
+    k_new, (pl_, _) = s2d_stem_geometry(k)
+    m = np.zeros((k_new, k_new, 4 * c, 1), np.float32)
+    for ty in range(k):
+        ka, i0 = ((ty - p) >> 1) + pl_, (ty - p) & 1
+        for tx in range(k):
+            kb, j0 = ((tx - p) >> 1) + pl_, (tx - p) & 1
+            for ci in range(c):
+                m[ka, kb, ci * 4 + i0 * 2 + j0, 0] = 1.0
+    return m
+
+
 def stem_s2d_kernel_from_dense(w_dense: np.ndarray) -> np.ndarray:
     """Dense stride-2 stem kernel (k, k, C, O) → s2d(2) stride-1 kernel
     (k', k', 4C, O) (k=7 → k'=4 with pad (2,1); k=3 → k'=2 with pad (1,0)).

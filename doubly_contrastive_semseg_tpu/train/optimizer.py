@@ -38,29 +38,35 @@ def cosine_annealing_schedule(base_lr: float, last_lr: float, epochs: int,
     return schedule
 
 
-def build_lr_schedule(cfg, steps_per_epoch: int) -> Callable:
+def build_lr_schedule(cfg, steps_per_epoch: int, base_lr: float | None = None) -> Callable:
     """The reference's ``--lr_policy`` family: the active ``cos_annealing``
     (``init_trainer.py:299-306``) plus the in-repo poly/step/cos variants
-    (``utils/lr_scheduler.py:6-125``, ``utils/scheduler.py:3-12``)."""
+    (``utils/lr_scheduler.py:6-125``, ``utils/scheduler.py:3-12``).
+
+    ``base_lr`` is the *group's* initial lr. torch ``CosineAnnealingLR`` reads
+    each param group's own initial lr as the cosine ceiling but anneals every
+    group to the SAME ``eta_min = last_lr`` (``init_trainer.py:301-306``) —
+    so the fine-tune group runs lr/4 → last_lr, NOT (lr → last_lr)/4."""
     policy = cfg.lr_policy
+    lr = cfg.lr if base_lr is None else base_lr
     if policy == "cos_annealing":
-        return cosine_annealing_schedule(cfg.lr, cfg.last_lr, cfg.epochs,
+        return cosine_annealing_schedule(lr, cfg.last_lr, cfg.epochs,
                                          steps_per_epoch)
     total_steps = max(1, cfg.epochs * steps_per_epoch)
     if policy == "poly":
         def poly(step):
             t = jnp.minimum(step, total_steps).astype(jnp.float32)
-            return cfg.lr * (1.0 - t / total_steps) ** 0.9
+            return lr * (1.0 - t / total_steps) ** 0.9
         return poly
     if policy == "step":
         def step_sched(step):
             k = jnp.floor_divide(step, max(cfg.step_size, 1)).astype(jnp.float32)
-            return cfg.lr * (0.1 ** k)
+            return lr * (0.1 ** k)
         return step_sched
     if policy in ("cos", "cos_step"):
         def cos(step):
             t = jnp.minimum(step, total_steps).astype(jnp.float32)
-            return 0.5 * cfg.lr * (1 + jnp.cos(math.pi * t / total_steps))
+            return 0.5 * lr * (1 + jnp.cos(math.pi * t / total_steps))
         return cos
     raise NotImplementedError(policy)
 
@@ -73,28 +79,38 @@ def _adam_group(lr_schedule: Callable, weight_decay: float) -> optax.GradientTra
     )
 
 
-def _sgd_group(lr_schedule: Callable, weight_decay: float, factor: float) -> optax.GradientTransformation:
+def _sgd_group(lr_schedule: Callable, weight_decay: float) -> optax.GradientTransformation:
+    # torch.optim.SGD(momentum=0.9): d_p = g + wd*p; buf = 0.9*buf + d_p;
+    # p -= lr*buf — decay-into-grad BEFORE the momentum buffer, no dampening.
     return optax.chain(
         optax.add_decayed_weights(weight_decay),
         optax.trace(decay=0.9),
-        optax.scale_by_learning_rate(lambda s: factor * lr_schedule(s)),
+        optax.scale_by_learning_rate(lr_schedule),
     )
 
 
 def build_optimizer(cfg, param_labels, steps_per_epoch: int) -> optax.GradientTransformation:
-    sched = build_lr_schedule(cfg, steps_per_epoch)
+    def sched(group_base_lr):
+        return build_lr_schedule(cfg, steps_per_epoch, base_lr=group_base_lr)
+
     if cfg.optimizer_policy == "ADAM":
         fine_tune_factor = 4.0
-        fine_sched = (lambda s: sched(s) / fine_tune_factor)
         transforms = {
-            "random_init": _adam_group(sched, cfg.weight_decay),
-            "fine_tune": _adam_group(fine_sched, cfg.weight_decay / fine_tune_factor),
+            "random_init": _adam_group(sched(cfg.lr), cfg.weight_decay),
+            "fine_tune": _adam_group(sched(cfg.lr / fine_tune_factor),
+                                     cfg.weight_decay / fine_tune_factor),
             "frozen": optax.set_to_zero(),
         }
     elif cfg.optimizer_policy == "SGD":
+        # Reference 4-group layout (init_trainer.py:127-159): offset convs at
+        # lr x 0.1, the seg head at lr x 10 (only with --train_semantic; see
+        # utils/params.py), everything else — including the ENTIRE
+        # 'feature_extractor', decoder and all — at lr x 1. Weight decay is
+        # the optimizer-level default, identical for every group.
         transforms = {
-            "random_init": _sgd_group(sched, cfg.weight_decay, 10.0),  # semantic head ×10
-            "fine_tune": _sgd_group(sched, cfg.weight_decay, 1.0),
+            "sgd_specific": _sgd_group(sched(cfg.lr * 0.1), cfg.weight_decay),
+            "sgd_base": _sgd_group(sched(cfg.lr), cfg.weight_decay),
+            "sgd_semantic": _sgd_group(sched(cfg.lr * 10.0), cfg.weight_decay),
             "frozen": optax.set_to_zero(),
         }
     else:

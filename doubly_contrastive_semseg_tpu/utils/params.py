@@ -22,10 +22,25 @@ FINE_TUNE_PREFIXES = (
 
 def _label_for_path(path_names, cfg) -> str:
     top = path_names[0]
+    sgd = getattr(cfg, "optimizer_policy", "ADAM") == "SGD"
+    trained = "sgd_base" if sgd else "random_init"  # opt-in extensions: lr x 1
     if top == "weather_clf":
-        return "random_init" if cfg.train_weather_clf else "frozen"
+        return trained if cfg.train_weather_clf else "frozen"
     if top == "projection":
-        return "random_init" if cfg.train_projection else "frozen"
+        return trained if cfg.train_projection else "frozen"
+    if sgd:
+        # The reference's SGD groups are name-substring filters over the FULL
+        # named_parameters list (utils/utils.py:47-75, init_trainer.py:127-159):
+        #   'offset_conv.*'   -> lr x 0.1   ("specific", deform-conv offsets)
+        #   'segmentation'    -> lr x 10    ("semantic", ONLY if --train_semantic;
+        #                        otherwise it lands in NO group and is never
+        #                        stepped — filter_base_params excludes it too)
+        #   'feature_extractor' and everything else -> lr x 1
+        if "offset_conv" in path_names:
+            return "sgd_specific"
+        if "segmentation" in path_names:
+            return "sgd_semantic" if getattr(cfg, "train_semantic", False) else "frozen"
+        return "sgd_base"
     # inside net/feature_extractor/...
     if "feature_extractor" in path_names:
         i = path_names.index("feature_extractor")
@@ -39,9 +54,7 @@ def _label_for_path(path_names, cfg) -> str:
     # (weathernet.py:100-102). Frozen by default for exact train parity,
     # opt-in via --train_seg_head. (DeepLab/ENet use one all-params group in
     # the reference and have no 'segmentation'-named module here.)
-    # (Under SGD the reference filters the FULL named_parameters list, so the
-    # head IS trained there — the omission is ADAM-only.)
-    if "segmentation" in path_names and getattr(cfg, "optimizer_policy", "ADAM") == "ADAM":
+    if "segmentation" in path_names:
         return "random_init" if getattr(cfg, "train_seg_head", False) else "frozen"
     # anything else model-side
     return "random_init"

@@ -143,6 +143,93 @@ def convert_reference_weathernet(model_state: Dict) -> Tuple[Dict, Dict]:
     return net_params, net_stats
 
 
+def _tconv_kernel(w) -> Any:
+    """torch ConvTranspose2d weight (I, O, kH, kW) → flax ConvTranspose
+    kernel (kH, kW, I, O) **with spatial flip**: flax/lax ``conv_transpose``
+    runs a true convolution (flipped taps) over the lhs-dilated input while
+    torch's formulation reduces to correlation with the stored weight —
+    permute + flip both spatial axes makes them bit-equal (verified
+    numerically in test_reference_parity's ENet oracle)."""
+    import numpy as np
+
+    k = np.transpose(np.asarray(w, dtype=np.float32), (2, 3, 0, 1))
+    return np.ascontiguousarray(k[::-1, ::-1])
+
+
+def convert_reference_enet(model_state: Dict) -> Tuple[Dict, Dict]:
+    """Reference ENet ``model_state`` (``network/enet.py:466-641``, saved by
+    ``trainer.py:407-421``) → (params, batch_stats) for ``ENetDCSS``'s ``net``
+    subtree. Maps the torch ``Sequential`` indices onto this module's named
+    layers (``models/enet.py``), including PReLU slopes (``.weight`` of
+    ``nn.PReLU`` → ``Act``'s ``alpha``) and both transposed convs."""
+    import numpy as np
+
+    params: Dict = {}
+    stats: Dict = {}
+    sd = model_state
+
+    def conv(tp, path):
+        if f"{tp}.weight" in sd:
+            _set(params, path + ("kernel",), _conv_kernel(sd[f"{tp}.weight"]))
+            if f"{tp}.bias" in sd:
+                _set(params, path + ("bias",), np.asarray(sd[f"{tp}.bias"], np.float32))
+
+    def act(tp, path):
+        # PReLU carries a slope parameter; ReLU entries simply have no key
+        if f"{tp}.weight" in sd:
+            _set(params, path + ("alpha",),
+                 np.asarray(sd[f"{tp}.weight"], np.float32))
+
+    # initial block
+    conv("initial_block.main_branch", ("initial_block", "main"))
+    _bn_entries(sd, "initial_block.batch_norm", params, stats, ("initial_block", "bn"))
+    act("initial_block.out_activation", ("initial_block", "act"))
+
+    blocks = sorted({k.split(".")[0] for k in sd
+                     if k.split(".")[0] not in ("initial_block", "transposed_conv")})
+    for b in blocks:
+        fp = (b,)
+        if b.startswith("downsample") or b.startswith("regular") \
+                or b.startswith("dilated") or b.startswith("asymmetric"):
+            conv(f"{b}.ext_conv1.0", fp + ("ext_conv1",))
+            _bn_entries(sd, f"{b}.ext_conv1.1", params, stats, fp + ("ext_bn1",))
+            act(f"{b}.ext_conv1.2", fp + ("ext_act1",))
+            if f"{b}.ext_conv2.3.weight" in sd:  # asymmetric 5x1 + 1x5 pair
+                conv(f"{b}.ext_conv2.0", fp + ("ext_conv2a",))
+                _bn_entries(sd, f"{b}.ext_conv2.1", params, stats, fp + ("ext_bn2a",))
+                act(f"{b}.ext_conv2.2", fp + ("ext_act2a",))
+                conv(f"{b}.ext_conv2.3", fp + ("ext_conv2b",))
+                _bn_entries(sd, f"{b}.ext_conv2.4", params, stats, fp + ("ext_bn2",))
+                act(f"{b}.ext_conv2.5", fp + ("ext_act2",))
+            else:
+                conv(f"{b}.ext_conv2.0", fp + ("ext_conv2",))
+                _bn_entries(sd, f"{b}.ext_conv2.1", params, stats, fp + ("ext_bn2",))
+                act(f"{b}.ext_conv2.2", fp + ("ext_act2",))
+            conv(f"{b}.ext_conv3.0", fp + ("ext_conv3",))
+            _bn_entries(sd, f"{b}.ext_conv3.1", params, stats, fp + ("ext_bn3",))
+            act(f"{b}.ext_conv3.2", fp + ("ext_act3",))
+            act(f"{b}.out_activation", fp + ("out_act",))
+        elif b.startswith("upsample"):
+            conv(f"{b}.main_conv1.0", fp + ("main_conv",))
+            _bn_entries(sd, f"{b}.main_conv1.1", params, stats, fp + ("main_bn",))
+            conv(f"{b}.ext_conv1.0", fp + ("ext_conv1",))
+            _bn_entries(sd, f"{b}.ext_conv1.1", params, stats, fp + ("ext_bn1",))
+            act(f"{b}.ext_conv1.2", fp + ("ext_act1",))
+            if f"{b}.ext_tconv1.weight" in sd:
+                _set(params, fp + ("ext_tconv", "kernel"),
+                     _tconv_kernel(sd[f"{b}.ext_tconv1.weight"]))
+            _bn_entries(sd, f"{b}.ext_tconv1_bnorm", params, stats, fp + ("ext_bn2",))
+            act(f"{b}.ext_tconv1_activation", fp + ("ext_act2",))
+            conv(f"{b}.ext_conv2.0", fp + ("ext_conv2",))
+            _bn_entries(sd, f"{b}.ext_conv2.1", params, stats, fp + ("ext_bn3",))
+            act(f"{b}.out_activation", fp + ("out_act",))
+
+    if "transposed_conv.weight" in sd:
+        _set(params, ("transposed_conv", "kernel"),
+             _tconv_kernel(sd["transposed_conv.weight"]))
+    return params, stats
+
+
 def convert_reference_deeplab(model_state: Dict) -> Tuple[Dict, Dict]:
     """Reference DeepLabV3/V3+ ``model_state`` (``modeling.deeplabv3*_resnet*``,
     saved by ``trainer.py:407-421``) → (params, batch_stats) for
@@ -249,6 +336,9 @@ def load_pretrained(params: Dict, batch_stats: Dict, path: str) -> Tuple[Dict, D
         sd = {k: v.numpy() for k, v in blob["model_state"].items()}
         if any(k.startswith("backbone.") for k in sd):  # deeplab family
             p_new, s_new = convert_reference_deeplab(sd)
+        elif any(k.startswith("initial_block.") for k in sd):  # ENet
+            p_new, s_new = convert_reference_enet(sd)
+            p_new, s_new = {"net": p_new}, {"net": s_new}
         else:
             p_new, s_new = convert_reference_weathernet(sd)
             p_new, s_new = {"net": p_new}, {"net": s_new}

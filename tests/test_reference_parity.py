@@ -292,3 +292,60 @@ def test_deeplab_forward_parity(tmp_path):
     scale = max(np.abs(want).max(), 1.0)
     assert np.abs(seg - want).max() / scale < 2e-4
     assert (seg.argmax(1) == want.argmax(1)).mean() == 1.0
+
+
+def test_enet_forward_parity(tmp_path):
+    """ENet oracle: the reference's third model family (``--model enet``)
+    round-trips through ``convert_reference_enet`` with logit-level
+    agreement. Pins the InitialBlock's 3x3/s2/pad1 maxpool branch
+    (enet.py:53), the activation at the END of every ext_conv3 Sequential
+    (enet.py:186-192,304-311), PReLU slope import, the 2x2/s2 upsampling
+    transposed convs (enet.py:426-431) and the final 3x3/s2 transposed conv's
+    output alignment, plus pool-indices round-tripping through the
+    reshape-argmax unpool."""
+    import torch as _torch
+
+    _install_torchvision_stubs()
+    sys.path.insert(0, REFERENCE)
+    try:
+        from network.enet import ENet as RefENet
+
+        _torch.manual_seed(4)
+        model = RefENet(num_classes=19)
+        model.train()
+        with _torch.no_grad():
+            for i in range(2):
+                g = _torch.Generator().manual_seed(300 + i)
+                model(_torch.rand((2, 3, 64, 64), generator=g) * 255.0)
+        model.eval()
+    finally:
+        sys.path.remove(REFERENCE)
+
+    ckpt = str(tmp_path / "enet.pth")
+    _torch.save({"model_state": model.state_dict()}, ckpt)
+    g = _torch.Generator().manual_seed(6)
+    x = _torch.rand((1, 3, 64, 64), generator=g) * 255.0
+    with _torch.no_grad():
+        seg_ref, _, feat_ref, _ = model(x)
+
+    from doubly_contrastive_semseg_tpu.models.enet import ENetDCSS
+    from doubly_contrastive_semseg_tpu.utils.torch_convert import load_pretrained
+
+    m = ENetDCSS(num_classes=19, weather_num=4, dtype=jnp.float32)
+    xj = jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))
+    v = m.init({"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1)}, xj, train=False)
+    params, stats, n = load_pretrained(v["params"], v["batch_stats"], ckpt)
+    assert n > 250, f"only {n} tensors imported"
+    with jax.default_matmul_precision("highest"):
+        out = m.apply({"params": params, "batch_stats": stats}, xj, train=False)
+
+    seg = np.transpose(np.asarray(out["seg"]), (0, 3, 1, 2))
+    want = seg_ref.numpy()
+    scale = max(np.abs(want).max(), 1.0)
+    assert np.abs(seg - want).max() / scale < 2e-4
+    assert (seg.argmax(1) == want.argmax(1)).mean() == 1.0
+    # the 1/8-res contrastive feature map (pre-decoder) agrees too
+    feat = np.transpose(np.asarray(out["fine_feat"]), (0, 3, 1, 2))
+    fscale = max(np.abs(feat_ref.numpy()).max(), 1.0)
+    assert np.abs(feat - feat_ref.numpy()).max() / fscale < 2e-4

@@ -100,12 +100,21 @@ def test_train_step_optimizes_and_respects_frozen_groups():
     labels2 = label_params_for_optimizer(state.params, cfg)
     assert labels2["net"]["segmentation"]["conv"]["kernel"] == "random_init"
     assert labels["net"]["segmentation"]["conv"]["kernel"] == "frozen"
-    # SGD policy trains the head regardless (reference filters the full
-    # named_parameters list there)
+    # SGD policy: the head lands in the lr x 10 'semantic' group via the
+    # reference's name filter — but ONLY with --train_semantic
+    # (init_trainer.py:149-156); without it the head is in NO group. The
+    # backbone (decoder included) is all 'base' at lr x 1.
     cfg.train_seg_head = False
     cfg.optimizer_policy = "SGD"
     labels3 = label_params_for_optimizer(state.params, cfg)
-    assert labels3["net"]["segmentation"]["conv"]["kernel"] == "random_init"
+    assert labels3["net"]["segmentation"]["conv"]["kernel"] == "sgd_semantic"
+    fe3 = labels3["net"]["feature_extractor"]
+    assert fe3["layer1_0"]["conv1"]["kernel"] == "sgd_base"
+    assert set(jax.tree_util.tree_leaves(fe3)) == {"sgd_base"}
+    cfg.train_semantic = False
+    labels4 = label_params_for_optimizer(state.params, cfg)
+    assert labels4["net"]["segmentation"]["conv"]["kernel"] == "frozen"
+    cfg.train_semantic = True
     cfg.optimizer_policy = "ADAM"
 
 

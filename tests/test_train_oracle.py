@@ -64,8 +64,11 @@ def class_weight():
     return np.random.default_rng(42).uniform(0.5, 2.0, (C,)).astype(np.float32)
 
 
-def _run_reference(batches, class_weight, criterion="none", snapshot_at=(1, 5)):
-    """Torch-CPU reference: model + criterion + two-group Adam, real steps.
+def _run_reference(batches, class_weight, criterion="none", snapshot_at=(1, 5),
+                   policy="ADAM"):
+    """Torch-CPU reference: model + criterion + the reference optimizer
+    (two-group Adam, or the 4-named-group SGD of ``init_trainer.py:127-159``),
+    real steps.
 
     Returns {step: state_dict-ckpt-path-content}, plus the supcon head
     weights used (for the supcon criterion)."""
@@ -79,6 +82,7 @@ def _run_reference(batches, class_weight, criterion="none", snapshot_at=(1, 5)):
     sys.path.insert(0, REFERENCE)
     try:
         import utils.loss as ref_loss
+        import utils.utils as ref_utils
     finally:
         sys.path.remove(REFERENCE)
 
@@ -98,13 +102,33 @@ def _run_reference(batches, class_weight, criterion="none", snapshot_at=(1, 5)):
             temperature=0.07, contrast_mode="all", base_temperature=0.07,
             weight=w256, device="cpu", opts=opts)
 
-    # init_trainer.py:160-177: ADAM, two groups, betas (0.9, 0.99)
-    opt = torch.optim.Adam(
-        [{"params": list(model.random_init_params()), "lr": LR,
-          "weight_decay": WD},
-         {"params": list(model.fine_tune_params()), "lr": LR / 4,
-          "weight_decay": WD / 4}],
-        betas=(0.9, 0.99))
+    if policy == "ADAM":
+        # init_trainer.py:160-177: ADAM, two groups, betas (0.9, 0.99)
+        opt = torch.optim.Adam(
+            [{"params": list(model.random_init_params()), "lr": LR,
+              "weight_decay": WD},
+             {"params": list(model.fine_tune_params()), "lr": LR / 4,
+              "weight_decay": WD / 4}],
+            betas=(0.9, 0.99))
+    else:
+        # init_trainer.py:127-159: SGD over the REFERENCE'S OWN name-substring
+        # filters (utils/utils.py:47-75) — the actual functions, not a
+        # re-derivation. For WeatherNet: specific (offset_conv) and base are
+        # EMPTY, feature_extractor is the whole backbone at lr x 1, the seg
+        # head joins at lr x 10 (train_semantic recipe).
+        named = list(model.named_parameters())
+        groups = [
+            {"params": [kv[1] for kv in filter(ref_utils.filter_base_params, named)],
+             "lr": LR},
+            {"params": [kv[1] for kv in filter(ref_utils.filter_specific_params, named)],
+             "lr": LR * 0.1},
+            {"params": [kv[1] for kv in filter(ref_utils.filter_feature_extractor_params, named)],
+             "lr": LR},
+            {"params": [kv[1] for kv in filter(ref_utils.filter_semantic_params, named)],
+             "lr": LR * 10},
+        ]
+        assert len(groups[0]["params"]) == 0 and len(groups[1]["params"]) == 0
+        opt = torch.optim.SGD(groups, lr=LR, momentum=0.9, weight_decay=WD)
 
     head_before = {k: v.detach().clone()
                    for k, v in model.segmentation.state_dict().items()
@@ -128,7 +152,7 @@ def _run_reference(batches, class_weight, criterion="none", snapshot_at=(1, 5)):
             total = sup / B + 1.2 * seg_loss  # trainer.py:123
         else:
             total = seg_loss                  # trainer.py:199-203
-        _REF_LOSSES[(criterion, i)] = float(total.detach())
+        _REF_LOSSES[(criterion, policy, i)] = float(total.detach())
         opt.zero_grad()
         total.backward()
         opt.step()
@@ -136,14 +160,14 @@ def _run_reference(batches, class_weight, criterion="none", snapshot_at=(1, 5)):
             snaps[i + 1] = {k: v.detach().clone().numpy()
                             for k, v in model.state_dict().items()}
 
-    # the reference's ADAM recipe really does leave the seg head untouched
-    for k, v in model.segmentation.state_dict().items():
-        if "running" in k or "num_batches" in k:
-            continue
-        np.testing.assert_array_equal(
-            v.detach().numpy(), head_before[k].numpy(),
-            err_msg=f"reference seg head param {k} changed — "
-                    "param-group premise broken")
+    # the reference's ADAM recipe really does leave the seg head untouched;
+    # the SGD recipe's lr x 10 semantic group really does move it
+    head_moved = any(
+        not np.array_equal(v.detach().numpy(), head_before[k].numpy())
+        for k, v in model.segmentation.state_dict().items()
+        if "running" not in k and "num_batches" not in k)
+    assert head_moved == (policy == "SGD"), \
+        f"{policy}: seg-head premise broken (moved={head_moved})"
 
     head_np = None
     if supcon_crit is not None:
@@ -155,7 +179,7 @@ def _run_reference(batches, class_weight, criterion="none", snapshot_at=(1, 5)):
 _REF_LOSSES: dict = {}
 
 
-def _ours_setup(snap0, tmp_path, criterion, head_np=None):
+def _ours_setup(snap0, tmp_path, criterion, head_np=None, policy="ADAM"):
     from doubly_contrastive_semseg_tpu.config import parse_args
     from doubly_contrastive_semseg_tpu.models import DCSSModel
     from doubly_contrastive_semseg_tpu.train.optimizer import build_optimizer
@@ -169,6 +193,7 @@ def _ours_setup(snap0, tmp_path, criterion, head_np=None):
         "--criterion", criterion, "--batch_size", str(B),
         "--compute_dtype", "float32", "--no_use_balanced_weights",
         "--lr", str(LR), "--weight_decay", str(WD), "--epochs", "400",
+        "--optimizer_policy", policy,
     ])
     model = DCSSModel(backbone="resnet18", num_classes=C, weather_num=4,
                       dtype=jnp.float32)
@@ -253,7 +278,7 @@ def test_train_step_matches_reference(tmp_path, class_weight, criterion,
     # (step > 0 losses are computed on already-diverged-by-noise params, so
     # the bar loosens slightly with depth)
     for i in range(n_steps):
-        want = _REF_LOSSES[(criterion, i)]
+        want = _REF_LOSSES[(criterion, "ADAM", i)]
         assert abs(our_losses[i] - want) / max(abs(want), 1.0) < 1e-4 * (i + 1), \
             f"[{criterion}] step {i}: loss {our_losses[i]:.6f} vs {want:.6f}"
 
@@ -309,6 +334,134 @@ def test_train_step_matches_reference(tmp_path, class_weight, criterion,
         jax.tree_util.tree_map_with_path(visit_bs, got.batch_stats, want_bs)
 
 
+def test_cosine_schedule_matches_torch_per_group():
+    """Value oracle for the LR schedule: torch ``CosineAnnealingLR`` reads
+    each param group's own initial lr as the cosine ceiling but anneals every
+    group to the SAME ``eta_min = last_lr = 1e-6`` (``init_trainer.py:301-306``,
+    ``options.py:63``). The fine-tune group therefore runs lr/4 → 1e-6 — NOT
+    (lr → 1e-6)/4, whose floor would be 4x too low and whose slope 0.75% off.
+    Checked across all 400 epochs of the published recipe for both ADAM
+    groups and the SGD x0.1/x10 groups."""
+    from doubly_contrastive_semseg_tpu.train.optimizer import build_lr_schedule
+
+    class _Cfg:
+        lr = 4e-4
+        last_lr = 1e-6
+        epochs = 400
+        lr_policy = "cos_annealing"
+
+    epochs = 400
+    for factor in (1.0, 0.25, 0.1, 10.0):
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([{"params": [p], "lr": _Cfg.lr * factor}],
+                              lr=_Cfg.lr)
+        sched_t = torch.optim.lr_scheduler.CosineAnnealingLR(
+            opt, epochs, eta_min=_Cfg.last_lr)
+        ours = build_lr_schedule(_Cfg, steps_per_epoch=1,
+                                 base_lr=_Cfg.lr * factor)
+        for e in range(epochs + 1):
+            want = opt.param_groups[0]["lr"]
+            got = float(ours(e))
+            assert abs(got - want) <= 1e-9 + 1e-5 * abs(want), \
+                f"factor {factor} epoch {e}: {got:.3e} vs torch {want:.3e}"
+            # torch's recursive closed-form stepping; advance after comparing
+            opt.step()
+            sched_t.step()
+
+
+def test_sgd_train_step_matches_reference(tmp_path, class_weight):
+    """SGD-policy oracle (the legacy recipes' optimizer). Pins, on top of the
+    ADAM test above: the 4-named-group fan-out of ``init_trainer.py:127-159``
+    — the ENTIRE feature_extractor (decoder included) at lr x 1, the seg head
+    at lr x 10 via the 'semantic' group (so it MOVES here, unlike ADAM),
+    momentum-0.9 buffers (decay-into-grad before the buffer, no dampening),
+    and uniform optimizer-level weight decay.
+
+    Unlike Adam — whose first-step update is sign(g)·lr and thus amplifies
+    sub-noise gradients to ±lr — SGD's update is lr·(g + wd·p), proportional
+    to the gradient itself, so elementwise parity is well-conditioned AT STEP
+    ONE and the step-1 bounds are absolute and tight. Beyond step 1 the
+    trajectory is chaotic through the stem (conv1 sits behind three shared
+    pyramid-level BNs): a measured control — the torch reference vs a copy
+    of itself perturbed by ±3e-6 — diverges to 4.8e-5 after one step and
+    4.2e-4 after three, MORE than our cross-implementation deviation
+    (3.2e-6 / 3.1e-4). Step-3 bounds are therefore a chaos envelope (max)
+    plus a population bound (the chaos concentrates in conv1/layer4 tails;
+    a systematic lr/wd/momentum error would move the whole population)."""
+    n_steps = 3
+    batches = _batches(n_steps, seed=19)
+    snapshot_at = (1, n_steps)
+    ref_snaps, _ = _run_reference(batches, class_weight, criterion="none",
+                                  snapshot_at=snapshot_at, policy="SGD")
+
+    cfg, model, tx, state = _ours_setup(ref_snaps[0], tmp_path, "none",
+                                        policy="SGD")
+    template = {"params": state.params, "batch_stats": state.batch_stats}
+    our_snaps, our_losses = _run_ours(cfg, model, tx, state, batches,
+                                      class_weight)
+
+    for i in range(n_steps):
+        want = _REF_LOSSES[("none", "SGD", i)]
+        assert abs(our_losses[i] - want) / max(abs(want), 1.0) < 1e-4 * (i + 1), \
+            f"[SGD] step {i}: loss {our_losses[i]:.6f} vs {want:.6f}"
+
+    for s in snapshot_at:
+        want_p, want_bs = _import_snap(ref_snaps[s], model, tmp_path, template)
+        got = our_snaps[s]
+
+        head_diffs, body_diffs = [], []
+
+        def visit(path, x, y):
+            d = np.abs(np.asarray(x) - np.asarray(y))
+            name = jax.tree_util.keystr(path)
+            top = name.split("'")[1]
+            if top in ("weather_clf", "projection"):
+                assert d.max() == 0.0, \
+                    f"[SGD] step {s}: frozen param moved: {name}"
+            elif "segmentation" in name:
+                head_diffs.append(d.ravel())
+            else:
+                body_diffs.append(d.ravel())
+            return x
+
+        jax.tree_util.tree_map_with_path(visit, got.params, want_p)
+        assert head_diffs, "seg head missing from comparison"
+        # the head moved on the reference side (premise assert in
+        # _run_reference); here it must land on the same values.
+        # Bounds: step 1 tight (pins semantics exactly); later steps get the
+        # measured chaos envelope (see docstring) — observed maxes 1.3e-4
+        # (head) / 3.2e-4 (body, conv1) at step 3, torch-vs-perturbed-torch
+        # control 4.2e-4 — plus a population bound: ≥99.9% of elements must
+        # sit within the step-1-tight band, since chaos lives in the tails
+        # while a systematic group-semantics error would shift everything.
+        for which, diffs, bound in (("head", head_diffs,
+                                     2e-5 if s == 1 else 1e-3),
+                                    ("body", body_diffs,
+                                     1e-5 if s == 1 else 1e-3)):
+            alld = np.concatenate(diffs)
+            assert float(alld.max()) < bound, \
+                f"[SGD] step {s}: {which} max dev {alld.max():.3e} " \
+                f"(group lr/momentum/wd mismatch?)"
+            frac_tight = float((alld < 2e-5 * s).mean())
+            assert frac_tight > 0.999, \
+                f"[SGD] step {s}: {which} population shifted — only " \
+                f"{frac_tight:.5f} within the tight band"
+
+        def visit_bs(path, x, y):
+            xx, yy = np.asarray(x), np.asarray(y)
+            rel = np.abs(xx - yy).max() / max(np.abs(yy).max(), 1e-2)
+            # batch moments of already-chaos-diverged activations: the
+            # torch-vs-perturbed-torch control reaches 29% running-var rel
+            # dev by step 3 (deep blend BNs); ours measures 17%
+            bar = 0.025 if s == 1 else 0.3
+            assert rel < bar, \
+                f"[SGD] step {s}: BN stat rel dev {rel:.3e} at " \
+                f"{jax.tree_util.keystr(path)}"
+            return x
+
+        jax.tree_util.tree_map_with_path(visit_bs, got.batch_stats, want_bs)
+
+
 @pytest.mark.slow
 def test_train_trajectory_envelope(tmp_path, class_weight):
     """25-step trajectory envelope on the focal branch: beyond ~5 steps,
@@ -328,7 +481,7 @@ def test_train_trajectory_envelope(tmp_path, class_weight):
     cfg, model, tx, state = _ours_setup(ref_snaps[0], tmp_path, "none")
     _, our_losses = _run_ours(cfg, model, tx, state, batches, class_weight)
 
-    ref = np.array([_REF_LOSSES[("none", i)] for i in range(n_steps)])
+    ref = np.array([_REF_LOSSES[("none", "ADAM", i)] for i in range(n_steps)])
     ours = np.array([our_losses[i] for i in range(n_steps)])
     rel = np.abs(ours - ref) / np.maximum(np.abs(ref), 1.0)
 
