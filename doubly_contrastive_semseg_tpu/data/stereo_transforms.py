@@ -59,8 +59,10 @@ def adjust_hue(img: Image.Image, hue_factor: float) -> Image.Image:
         raise ValueError(f"hue_factor {hue_factor} not in [-0.5, 0.5]")
     h, s, v = img.convert("HSV").split()
     np_h = np.array(h, dtype=np.uint8)
-    with np.errstate(over="ignore"):
-        np_h += np.uint8(hue_factor * 255)
+    # NumPy 2.x raises OverflowError converting a negative python int to
+    # uint8, so wrap the shift explicitly (uint8 addition wraps mod 256,
+    # matching torchvision's intended hue rotation)
+    np_h += np.uint8(int(hue_factor * 255) % 256)
     h = Image.fromarray(np_h, "L")
     return Image.merge("HSV", (h, s, v)).convert(img.mode)
 
@@ -121,7 +123,16 @@ class StereoRandomCrop:
         oh, ow = sample["left"].shape[:2]
         if self.img_height > oh or self.img_width > ow:
             tp, rp = self.img_height - oh, self.img_width - ow
-            assert tp >= 0 and rp >= 0
+            if tp < 0 or rp < 0:
+                # the reference's RandomCrop (transforms.py:63-133) has the
+                # same all-pad-or-all-crop constraint (its asserts fire on
+                # mixed cases); surface it as a clear error rather than a
+                # bare AssertionError
+                raise ValueError(
+                    f"StereoRandomCrop target ({self.img_height}, "
+                    f"{self.img_width}) mixes pad and crop against input "
+                    f"({oh}, {ow}); pad-one-axis/crop-the-other is not "
+                    "supported (reference parity)")
             for k in keys_img:
                 sample[k] = np.pad(sample[k], ((tp, 0), (0, rp), (0, 0)))
             for k in keys_flat:

@@ -84,7 +84,13 @@ class TorchBatchNorm(nn.Module):
             axes = tuple(range(x.ndim - 1))
             xf = x.astype(jnp.float32)
             mean = jnp.mean(xf, axes)
-            var = jnp.mean(jnp.square(xf), axes) - jnp.square(mean)  # biased
+            # biased; clamp ≥0 — the one-pass E[x²]−E[x]² form can go
+            # slightly negative under f32 cancellation (|mean| ≫ std),
+            # where rsqrt(var+eps) would emit NaN. torch's true variance
+            # is non-negative by construction, so clamping only ever
+            # moves us TOWARD the reference.
+            var = jnp.maximum(
+                jnp.mean(jnp.square(xf), axes) - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 n = x.size // feats
                 m = self.momentum_torch

@@ -213,6 +213,25 @@ def _pad_rows(z, labels, valid, n_pad, d_pad):
     return zp, labp, validp
 
 
+def _tile_scaffold(tile_n: int, n_pad: int):
+    """Shared (row, col) grid scaffolding for the N×N sweep kernels:
+    row/col BlockSpec builders, the per-row (N, 1) output spec/shape, and
+    the (tile_n, 1) f32 accumulator scratch."""
+    def row_spec(width):
+        return pl.BlockSpec((tile_n, width), lambda r, c: (r, 0),
+                            memory_space=pltpu.VMEM)
+
+    def col_spec(width):
+        return pl.BlockSpec((tile_n, width), lambda r, c: (c, 0),
+                            memory_space=pltpu.VMEM)
+
+    out_spec = pl.BlockSpec((tile_n, 1), lambda r, c: (r, 0),
+                            memory_space=pltpu.VMEM)
+    oshape = jax.ShapeDtypeStruct((n_pad, 1), jnp.float32)
+    scr = pltpu.VMEM((tile_n, 1), jnp.float32)
+    return row_spec, col_spec, out_spec, oshape, scr
+
+
 def contrastive_row_stats(
     z: jax.Array,        # (N, D) embeddings (two-view rows already stacked)
     labels: jax.Array,   # (N,) int
@@ -236,19 +255,7 @@ def contrastive_row_stats(
 
     num_tiles = n_pad // tile_n
     grid = (num_tiles, num_tiles)
-
-    def row_spec(width):
-        return pl.BlockSpec((tile_n, width), lambda r, c: (r, 0),
-                            memory_space=pltpu.VMEM)
-
-    def col_spec(width):
-        return pl.BlockSpec((tile_n, width), lambda r, c: (c, 0),
-                            memory_space=pltpu.VMEM)
-
-    out_spec = pl.BlockSpec((tile_n, 1), lambda r, c: (r, 0),
-                            memory_space=pltpu.VMEM)
-    oshape = jax.ShapeDtypeStruct((n_pad, 1), jnp.float32)
-    scr = pltpu.VMEM((tile_n, 1), jnp.float32)
+    row_spec, col_spec, out_spec, oshape, scr = _tile_scaffold(tile_n, n_pad)
     common = dict(tile_n=tile_n, num_col_tiles=num_tiles,
                   inv_temp=1.0 / temperature)
 
@@ -451,19 +458,7 @@ def _pc_core_fwd(z, labf, validf, temperature, base_temperature, tile_n,
 
     num_tiles = n_pad // tile_n
     grid = (num_tiles, num_tiles)
-
-    def row_spec(width):
-        return pl.BlockSpec((tile_n, width), lambda r, c: (r, 0),
-                            memory_space=pltpu.VMEM)
-
-    def col_spec(width):
-        return pl.BlockSpec((tile_n, width), lambda r, c: (c, 0),
-                            memory_space=pltpu.VMEM)
-
-    out_spec = pl.BlockSpec((tile_n, 1), lambda r, c: (r, 0),
-                            memory_space=pltpu.VMEM)
-    oshape = jax.ShapeDtypeStruct((n_pad, 1), jnp.float32)
-    scr = pltpu.VMEM((tile_n, 1), jnp.float32)
+    row_spec, col_spec, out_spec, oshape, scr = _tile_scaffold(tile_n, n_pad)
 
     q, cnt = pl.pallas_call(
         functools.partial(_pc_kernel, tile_n=tile_n, num_col_tiles=num_tiles,

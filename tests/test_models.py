@@ -104,3 +104,19 @@ def test_factory_reaches_legacy_backbones(name):
     assert out["fine_feat"].shape == (2 * b, s // 4, s // 4, 128)
     assert out["fine_feat0"].shape[0] == b
     assert out["supcon_proj"].shape == (b, 2, 128)
+
+
+def test_torch_batchnorm_one_pass_variance_never_negative():
+    """The one-pass E[x²]−E[x]² batch variance can go negative under f32
+    cancellation (|mean| ≫ std) where rsqrt(var+eps) emits NaN; torch's true
+    variance is non-negative by construction, so the clamp is pure parity.
+    x ≡ 900.05 makes the unclamped form −0.4375 (found by sweep)."""
+    from doubly_contrastive_semseg_tpu.models.blocks import TorchBatchNorm
+
+    bn = TorchBatchNorm(use_running_average=False)
+    x = jnp.full((2, 4, 4, 8), 900.05, jnp.float32)
+    v = bn.init(jax.random.PRNGKey(0), x)
+    y, mut = bn.apply(v, x, mutable=["batch_stats"])
+    assert np.isfinite(np.asarray(y)).all()
+    assert np.isfinite(np.asarray(mut["batch_stats"]["var"])).all()
+    assert (np.asarray(mut["batch_stats"]["var"]) >= 0).all()

@@ -157,6 +157,17 @@ def test_stereo_photometrics_pair_symmetric_and_pil_exact():
         "HSV", img.convert("HSV").split()).convert("RGB"))
     np.testing.assert_array_equal(rt, want_rt)
 
+    # NEGATIVE hue factors must wrap mod 256, not crash (NumPy 2.x raises
+    # OverflowError converting a negative int to uint8): compare against the
+    # explicit uint8-HSV rotation done in RGB space
+    for f in (-0.1, -0.5, 0.37):
+        got = np.asarray(adjust_hue(img, f))
+        h0, s0, v0 = img.convert("HSV").split()
+        h_rot = np.asarray(h0) + np.uint8(int(f * 255) % 256)  # wraps
+        want = np.asarray(Image.merge(
+            "HSV", (Image.fromarray(h_rot, "L"), s0, v0)).convert("RGB"))
+        np.testing.assert_array_equal(got, want)
+
     # RandomColor applies the identical draw to both eyes: equal inputs in,
     # equal outputs out — across many random configurations
     for seed in range(6):
