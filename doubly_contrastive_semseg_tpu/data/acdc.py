@@ -44,6 +44,12 @@ TRAIN_ID_TO_COLOR = np.array(
     dtype=np.uint8,
 )  # 19 classes + black for ignore/void
 
+# Last-wins on duplicate colors, like the reference's dict comprehension
+# (acdc.py:72): pole (153,153,153) resolves to polegroup's 255 on both sides.
+# ONE deliberate deviation: the reference's table ends with the license-plate
+# row sharing car's (0,0,142), so its saved gray_pred_sem dumps
+# (trainer.py:549-560) turn every predicted CAR pixel into ignore-255; our
+# table has no license-plate row, so car correctly maps to 13.
 COLOR_TO_EVAL_ID = {c: t for (_, t, c) in _CITYSCAPES_LABELS}
 
 

@@ -2,8 +2,12 @@
 
 Re-implementation of reference ``dataloaders/datasets/cityscapes.py:15-217``:
 stereo-format file lists ``left right [disp] [label]``; shares the Cityscapes
-label tables with ACDC. Disparity PNGs are the standard KITTI 16-bit/256
-encoding; Cityscapes disparity PNGs use (v-1)/256.
+label tables with ACDC. ALL disparity PNGs decode as the KITTI 16-bit v/256
+convention — the reference applies ``_read_kitti_disp`` to every .png
+(``utils/file_io.py:110-113``), including Cityscapes frames whose official
+cityscapesScripts encoding is (v-1)/256 with v==0 invalid; we reproduce the
+reference's uniform v/256 for parity (a constant +1/256 px bias on
+Cityscapes gt that its recorded numbers already bake in).
 """
 
 from __future__ import annotations
@@ -63,12 +67,21 @@ class Cityscapes:
 
     def __init__(self, root: str, dataset_name: str = "cityscapes", mode: str = "train",
                  transform: Optional[Callable] = None, opts=None,
-                 filelist_root: str = "filenames"):
+                 filelist_root: str = "filenames",
+                 load_disp: Optional[bool] = None):
         self.root = root
         self.mode = mode
         self.transform = transform
         self.dataset_name = dataset_name
         self.opts = opts
+        # cityscapes lists carry a disparity column, but the semantic trainer
+        # (the only CLI route for dataset=cityscapes) never consumes it —
+        # decoding the 2048×1024 16-bit PNG per sample and shipping ~8 MB/
+        # sample to the device as a dead jit argument is pure waste. Stereo
+        # datasets (and the stereo trainer, which passes load_disp=True)
+        # keep it.
+        self.load_disp = (dataset_name != "cityscapes") if load_disp is None \
+            else load_disp
         rel = LIST_FILES[dataset_name].format(mode=mode).split("/", 1)[1]
         list_path = os.path.join(filelist_root, rel)
 
@@ -99,7 +112,7 @@ class Cityscapes:
         }
         if rec["right"] is not None and os.path.exists(rec["right"]):
             sample["right"] = Image.open(rec["right"]).convert("RGB")
-        if rec["disp"] is not None:
+        if rec["disp"] is not None and self.load_disp:
             sample["disp"] = Image.fromarray(read_disp(rec["disp"]))
         if rec["label"] is not None:
             enc = self.encode_target(Image.open(rec["label"]))

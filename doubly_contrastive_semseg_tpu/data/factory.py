@@ -27,6 +27,7 @@ from .transforms import (
     LabelBoundaryTransform,
     RandomSquareCropAndScale,
     SetTargetSize,
+    ThreadSafeRng,
     ToArrays,
     TwoCropTransform,
 )
@@ -36,7 +37,7 @@ MEAN_RGB = tuple(np.uint8([73.15, 82.90, 72.3]))
 
 
 def build_transforms(cfg, crop_wh: Tuple[int, int], seed: int = 0):
-    train_rng = np.random.default_rng(seed)
+    train_rng = ThreadSafeRng(np.random.default_rng(seed))
     target_size_crops = crop_wh
     target_size_feats = (crop_wh[0] // 4, crop_wh[1] // 4)
 
@@ -100,7 +101,7 @@ def get_dataset(cfg, seed: int = 0):
     if cfg.dataset == "city_lost":
         # CropBlackArea precedes everything for Lost&Found frames
         # (reference dataloaders/utils.py:80-97)
-        train_rng = np.random.default_rng(seed)
+        train_rng = ThreadSafeRng(np.random.default_rng(seed))
         train_t = Compose([
             CropBlackArea(),
             RandomSquareCropAndScale(crop_wh, mean=MEAN_RGB, ignore_id=255, rng=train_rng),
@@ -127,7 +128,7 @@ def get_dataset(cfg, seed: int = 0):
     if cfg.dataset == "synthetic":
         hw = tuple(int(v) for v in cfg.synthetic_hw.split("x"))  # (h, w)
         crop = cfg.crop_wh
-        train_rng = np.random.default_rng(seed)
+        train_rng = ThreadSafeRng(np.random.default_rng(seed))
         if cfg.host_augment:
             train_t = Compose([
                 RandomSquareCropAndScale(crop, mean=MEAN_RGB, ignore_id=255,

@@ -86,24 +86,44 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         err: List[BaseException] = []
+        # abandoned-iterator shutdown: without this, a consumer that breaks
+        # early (or a bare next(iter(loader))) leaves the producer blocked on
+        # q.put forever, leaking the worker pool + prefetched batches
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
                     for b in batches:
+                        if stop.is_set():
+                            return
                         samples = list(pool.map(self.dataset.__getitem__, b))
-                        q.put(collate(samples))
+                        if not _put(collate(samples)):
+                            return
             except BaseException as e:  # surfaced on the consumer side
                 err.append(e)
             finally:
-                q.put(sentinel)
+                _put(sentinel)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if err:
-                    raise err[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if err:
+                        raise err[0]
+                    return
+                yield item
+        finally:
+            # runs on GeneratorExit (close/GC of an abandoned iterator) too
+            stop.set()

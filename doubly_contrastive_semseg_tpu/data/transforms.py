@@ -12,6 +12,7 @@ pipeline. Everything downstream of these transforms is static-shape.
 from __future__ import annotations
 
 import random
+import threading
 from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
@@ -23,6 +24,31 @@ except ImportError:  # pragma: no cover - cv2 is baked into the image
     cv2 = None
 
 RESAMPLE_IMG = Image.BICUBIC  # reference RESAMPLE for images
+
+
+class ThreadSafeRng:
+    """Lock-protected ``np.random.Generator`` proxy. The threaded DataLoader
+    maps ``dataset.__getitem__`` over a worker pool, so the transforms'
+    shared generator is drawn from several threads at once — raw Generator
+    state mutation is not thread-safe (racing draws can duplicate or corrupt
+    the stream). The lock makes every draw atomic; which sample gets which
+    draw still depends on worker scheduling, exactly like the torch
+    reference's per-worker RNG streams with ``num_workers>0``."""
+
+    def __init__(self, rng: np.random.Generator):
+        self._rng = rng
+        self._lock = threading.Lock()
+
+    def __getattr__(self, name):
+        attr = getattr(self._rng, name)
+        if not callable(attr):
+            return attr
+
+        def locked(*args, **kwargs):
+            with self._lock:
+                return attr(*args, **kwargs)
+
+        return locked
 
 
 class Compose:
@@ -202,8 +228,12 @@ class CropBlackArea:
 class ColorJitter:
     """Photometric jitter (brightness/contrast/saturation/hue) applied to the
     image only — the torchvision-fork machinery the reference vendors in
-    ``custom_transforms_acdc.py:59-443`` / ``custom_transforms.py``. Factors
-    are sampled U(max(0, 1−v), 1+v) per call like torchvision."""
+    ``custom_transforms.py:1007-1098``. Semantics match torchvision's PIL
+    backend: factors sampled U(max(0, 1−v), 1+v) (hue: U(−v, v)) in fixed
+    b/c/s/h draw order, the enabled ops applied in SHUFFLED order
+    (``get_params`` does ``random.shuffle``), each op saturating to uint8 —
+    contrast blends against the grayscale mean via ``ImageEnhance.Contrast``,
+    hue rotates the uint8 HSV H channel (no cv2 dependency)."""
 
     def __init__(self, brightness: float = 0.0, contrast: float = 0.0,
                  saturation: float = 0.0, hue: float = 0.0,
@@ -215,26 +245,36 @@ class ColorJitter:
         self.rng = rng or np.random.default_rng()
 
     def _factor(self, v: float) -> float:
-        return float(self.rng.uniform(max(0.0, 1.0 - v), 1.0 + v)) if v else 1.0
+        return float(self.rng.uniform(max(0.0, 1.0 - v), 1.0 + v))
 
     def __call__(self, sample: Dict) -> Dict:
-        img = np.asarray(sample["left"], np.float32)
-        b = self._factor(self.brightness)
-        c = self._factor(self.contrast)
-        s = self._factor(self.saturation)
-        img = img * b
-        mean = img.mean()
-        img = (img - mean) * c + mean
-        gray = img @ np.array([0.299, 0.587, 0.114], np.float32)
-        img = (img - gray[..., None]) * s + gray[..., None]
+        from .stereo_transforms import (
+            adjust_brightness,
+            adjust_contrast,
+            adjust_hue,
+            adjust_saturation,
+        )
+
+        img = sample["left"]
+        if not isinstance(img, Image.Image):
+            img = Image.fromarray(
+                np.clip(np.asarray(img), 0, 255).astype(np.uint8))
+        ops = []
+        if self.brightness:
+            b = self._factor(self.brightness)
+            ops.append(lambda im, f=b: adjust_brightness(im, f))
+        if self.contrast:
+            c = self._factor(self.contrast)
+            ops.append(lambda im, f=c: adjust_contrast(im, f))
+        if self.saturation:
+            s = self._factor(self.saturation)
+            ops.append(lambda im, f=s: adjust_saturation(im, f))
         if self.hue:
-            h_shift = float(self.rng.uniform(-self.hue, self.hue)) * 180.0
-            if cv2 is not None:
-                hsv = cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8),
-                                   cv2.COLOR_RGB2HSV).astype(np.float32)
-                hsv[..., 0] = (hsv[..., 0] + h_shift) % 180.0
-                img = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB).astype(np.float32)
-        sample["left"] = Image.fromarray(np.clip(img, 0, 255).astype(np.uint8))
+            h = float(self.rng.uniform(-self.hue, self.hue))
+            ops.append(lambda im, f=h: adjust_hue(im, f))
+        for i in self.rng.permutation(len(ops)):
+            img = ops[int(i)](img)
+        sample["left"] = img
         return sample
 
 
@@ -262,6 +302,10 @@ class ToArrays:
     def __call__(self, sample: Dict) -> Dict:
         out = dict(sample)
         out["left"] = np.asarray(sample["left"], np.float32)
+        if sample.get("right") is not None:
+            out["right"] = np.asarray(sample["right"], np.float32)
+        if sample.get("disp") is not None:
+            out["disp"] = np.asarray(sample["disp"], np.float32)
         if sample.get("label") is not None:
             out["label"] = np.asarray(sample["label"], np.int64)
         if "weather" in sample and sample["weather"] is not None:

@@ -25,9 +25,14 @@ def compute_class_frequencies(dataset, num_classes: int,
     n = len(dataset) if max_samples is None else min(len(dataset), max_samples)
     for i in range(n):
         sample = dataset[i]
-        y = np.asarray(sample["label"])
-        mask = (y >= 0) & (y < num_classes)
-        z += np.bincount(y[mask].astype(np.int64), minlength=num_classes)
+        # under TwoCropTransform (any supcon criterion) an item is a list of
+        # two view dicts; the reference iterates the collated train loader,
+        # whose custom_collate concatenates both crops — count both labels
+        views = sample if isinstance(sample, (list, tuple)) else [sample]
+        for view in views:
+            y = np.asarray(view["label"])
+            mask = (y >= 0) & (y < num_classes)
+            z += np.bincount(y[mask].astype(np.int64), minlength=num_classes)
     total = z.sum()
     return (z / total) if total > 0 else z
 

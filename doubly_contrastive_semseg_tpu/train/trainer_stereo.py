@@ -26,18 +26,58 @@ from .state import TrainState
 from .steps import make_stereo_train_step
 
 
+# Per-dataset (train crop, val pad/crop) shapes used when the user leaves the
+# generic --img_* flags at their defaults. KITTI frames are ~375×1242 and
+# mixed-size, so the semantic defaults (512×1024 crop, 1920×1080 val) would
+# mix pad+crop / stack ragged batches; these are the standard stereo shapes
+# (all /32 for the pyramid). The reference CLI lists these datasets but its
+# get_dataset has no branch for them (dataloaders/utils.py:32-193 — the
+# RODSNet-era pipeline in dataloaders/transforms.py is dead code there).
+_STEREO_TRAIN_HW = {"kitti_2015": (288, 1152), "kitti_mix": (288, 1152),
+                    "sceneflow": (288, 576)}
+_STEREO_VAL_HW = {"kitti_2015": (384, 1248), "kitti_mix": (384, 1248),
+                  "sceneflow": (576, 960),
+                  # full-res: disparity can't be resized like labels
+                  "cityscapes": (1024, 2048)}
+
+
 def _stereo_dataset(cfg, mode: str):
     if cfg.dataset == "synthetic":
         size = 8 if cfg.debug else 32
         return SyntheticStereoDataset(size=size if mode == "train" else 4,
                                       image_hw=(64, 96), max_disp=16,
                                       seed=0 if mode == "train" else 1)
-    # sceneflow / kitti lists flow through the Cityscapes loader
+    # sceneflow / kitti lists flow through the Cityscapes loader; the
+    # transform stack is the RODSNet-era stereo pipeline
+    # (reference dataloaders/transforms.py:9-258): photometric RandomColor →
+    # shared RandomCrop (pad-or-crop) → ToArrays
+    from ..config import Config
     from ..data.cityscapes import Cityscapes
+    from ..data.stereo_transforms import RandomColor, StereoRandomCrop
     from ..data.transforms import Compose, ToArrays
 
+    dflt = Config()
+    if mode == "train":
+        h, w = cfg.img_height, cfg.img_width
+        if (h, w) == (dflt.img_height, dflt.img_width) and \
+                cfg.dataset in _STEREO_TRAIN_HW:
+            h, w = _STEREO_TRAIN_HW[cfg.dataset]
+        from ..data.transforms import ThreadSafeRng
+
+        rng = ThreadSafeRng(np.random.default_rng(cfg.random_seed))
+        t = Compose([RandomColor(rng=rng),
+                     StereoRandomCrop(h, w, label_pad=255, rng=rng),
+                     ToArrays()])
+    else:
+        h, w = cfg.val_img_height, cfg.val_img_width
+        if (h, w) == (dflt.val_img_height, dflt.val_img_width) and \
+                cfg.dataset in _STEREO_VAL_HW:
+            h, w = _STEREO_VAL_HW[cfg.dataset]
+        t = Compose([StereoRandomCrop(h, w, validate=True, label_pad=255),
+                     ToArrays()])
+    logging.info("stereo %s pipeline: %dx%d pad-or-crop", mode, h, w)
     return Cityscapes(root=cfg.data_root, dataset_name=cfg.dataset, mode=mode,
-                      transform=Compose([ToArrays()]), opts=cfg)
+                      transform=t, opts=cfg, load_disp=True)
 
 
 class StereoTrainer:

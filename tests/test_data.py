@@ -154,6 +154,12 @@ def test_acdc_label_encoding_roundtrip():
     assert color[0, 0].tolist() == [128, 64, 128]  # road color
     assert ACDC.convert_color_to_eval_id((128, 64, 128)) == 0
     assert ACDC.convert_color_to_eval_id((0, 0, 0)) == 255
+    # duplicate-color resolution: pole shares polegroup's color → 255 on both
+    # sides (last-wins, reference acdc.py:72); car is a DELIBERATE deviation —
+    # the reference's license-plate row steals (0,0,142) and ignores every
+    # predicted car pixel in its gray dumps, ours keeps car = 13
+    assert ACDC.convert_color_to_eval_id((153, 153, 153)) == 255
+    assert ACDC.convert_color_to_eval_id((0, 0, 142)) == 13
 
 
 def test_generate_city_lost_filelists(tmp_path, monkeypatch):
@@ -490,3 +496,48 @@ def dataclasses_replace_weather(cfg, weather):
     import dataclasses
 
     return dataclasses.replace(cfg, weather_condition=weather)
+
+
+def test_dataloader_abandoned_iterator_shuts_down_producer():
+    """Breaking out of (or abandoning) a loader iterator must stop the
+    producer thread — previously it blocked on q.put forever, leaking the
+    worker pool and pinned batches (trainer_stereo's init-batch probe does
+    exactly this)."""
+    import gc
+    import threading
+    import time
+
+    from doubly_contrastive_semseg_tpu.data.loader import DataLoader
+
+    class _Tiny:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return {"left": np.zeros((4, 4, 3), np.float32),
+                    "label": np.zeros((4, 4), np.int64)}
+
+    before = threading.active_count()
+    loader = DataLoader(_Tiny(), batch_size=2, num_workers=2, prefetch=2)
+    it = iter(loader)
+    next(it)  # producer running, queue filling
+    it.close()  # abandon: GeneratorExit → stop event
+    del it
+    gc.collect()
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"
+
+
+def test_class_weights_with_two_crop_samples():
+    """Any supcon criterion wraps the train dataset in TwoCropTransform, so
+    dataset[i] is a LIST of two view dicts; first-run weight computation must
+    count both views' labels (the reference iterates the collated loader
+    whose custom_collate concatenates the crops) instead of crashing."""
+    cfg = parse_args(["--dataset", "synthetic", "--criterion",
+                      "supcon_pixelcontrast_focal", "--train_semantic", "--debug"])
+    train_dst, _ = get_dataset(cfg, seed=0)
+    assert isinstance(train_dst[0], list)  # precondition: two-crop items
+    freq = compute_class_frequencies(train_dst, cfg.num_classes, max_samples=2)
+    assert freq.shape == (19,) and abs(freq.sum() - 1.0) < 1e-6

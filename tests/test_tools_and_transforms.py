@@ -30,6 +30,26 @@ def test_color_jitter_changes_image_only():
     np.testing.assert_array_equal(np.array(out["label"]), lbl_before)
 
 
+def test_color_jitter_single_op_matches_pil_backend():
+    """Each jitter op is torchvision's PIL backend (fork
+    custom_transforms.py:1060-1077): contrast blends against the GRAYSCALE
+    mean (ImageEnhance.Contrast), not the RGB mean, and every op saturates
+    to uint8; hue works without cv2."""
+    from PIL import ImageEnhance
+
+    s = _sample(seed=3)
+    # reproduce the factor draw, then check the op IS ImageEnhance.Contrast
+    rng = np.random.default_rng(7)
+    f = float(np.random.default_rng(7).uniform(0.5, 1.5))
+    out = ColorJitter(contrast=0.5, rng=rng)(dict(s))
+    want = ImageEnhance.Contrast(s["left"]).enhance(f)
+    np.testing.assert_array_equal(np.array(out["left"]), np.array(want))
+
+    # hue-only must not be a silent no-op (the cv2-less path used to drop it)
+    out_h = ColorJitter(hue=0.5, rng=np.random.default_rng(0))(dict(s))
+    assert not np.array_equal(np.array(out_h["left"]), np.array(s["left"]))
+
+
 def test_horizontal_flip_pairs_image_and_label():
     s = _sample()
     img = np.array(s["left"]).copy()
@@ -257,3 +277,43 @@ def test_label_distance_transform_binned_alphas():
     # reduce=False keeps the per-class stack
     out2 = LabelDistanceTransform(num_classes=3)({"label": labels.copy()})
     assert out2["label_distance_transform"].shape == (3,) + labels.shape
+
+
+def test_stereo_trainer_pipeline_unifies_mixed_kitti_sizes():
+    """The stereo trainer's KITTI pipeline (RandomColor → StereoRandomCrop →
+    ToArrays, trainer_stereo._stereo_dataset) must turn mixed-resolution
+    frames (KITTI is 375×1242 / 370×1224 / …) into one batchable shape —
+    previously they flowed through bare ToArrays and np.stack raised."""
+    from doubly_contrastive_semseg_tpu.data.loader import collate
+    from doubly_contrastive_semseg_tpu.data.stereo_transforms import (
+        RandomColor, StereoRandomCrop)
+    from doubly_contrastive_semseg_tpu.data.transforms import Compose, ToArrays
+    from doubly_contrastive_semseg_tpu.train.trainer_stereo import (
+        _STEREO_TRAIN_HW, _STEREO_VAL_HW)
+
+    th, tw = _STEREO_TRAIN_HW["kitti_2015"]
+    assert th % 32 == 0 and tw % 32 == 0  # pyramid-friendly
+    vh, vw = _STEREO_VAL_HW["kitti_2015"]
+    assert vh % 32 == 0 and vw % 32 == 0
+
+    rng = np.random.default_rng(0)
+    train_t = Compose([RandomColor(rng=rng),
+                       StereoRandomCrop(th, tw, label_pad=255, rng=rng),
+                       ToArrays()])
+    sizes = [(375, 1242), (370, 1224), (376, 1241)]
+    batch = collate([train_t(_stereo_sample(h, w, seed=i))
+                     for i, (h, w) in enumerate(sizes)])
+    assert batch["left"].shape == (3, th, tw, 3)
+    assert batch["right"].shape == (3, th, tw, 3)
+    assert batch["disp"].shape == (3, th, tw)
+    assert batch["label"].dtype == np.int64
+
+    # val: KITTI pads (smaller both ways) to the standard 384×1248
+    val_t = Compose([StereoRandomCrop(vh, vw, validate=True, label_pad=255),
+                     ToArrays()])
+    vbatch = collate([val_t(_stereo_sample(h, w, seed=i))
+                      for i, (h, w) in enumerate(sizes)])
+    assert vbatch["left"].shape == (3, vh, vw, 3)
+    # padded disparity pixels are 0 → excluded by the gt>0 metric masks
+    # (top pad is vh − h per sample; every sample pads at least vh − 376 rows)
+    assert (vbatch["disp"][:, :vh - 376, :] == 0).all()
