@@ -51,6 +51,14 @@ def boundary_aware_focal_loss(
       mode: the reference's flag variants (``loss.py:65-72``) —
         ``plain_focal`` drops both weightings, ``no_class_weights`` keeps only
         α, ``no_EDT`` keeps only the class weight.
+
+    Reference-parity quirk, kept deliberately: ``plain_focal`` and ``no_EDT``
+    include ignore pixels in the numerator (remapped to class 0). The
+    reference's ``target[target == ignore_id] = 0`` is only justified by its
+    own comment "because alphas are zero in ignore_id places" (loss.py:43),
+    but those two branches never multiply by α — so ignored/padded pixels
+    leak into the loss there exactly as here (oracle-matched in
+    ``test_loss_oracle.py``).
     """
     target_safe = jnp.where(target == ignore_id, 0, target)
     logpt = _gather_logpt(logits, target_safe)

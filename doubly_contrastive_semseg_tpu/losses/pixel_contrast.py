@@ -137,7 +137,8 @@ def _masked_contrastive(
     logits = logits / jnp.maximum(norm, 1e-12)
 
     eye = jnp.eye(n, dtype=jnp.float32)
-    logits_mask = (1.0 - eye) * pair_valid_t
+    # self-contrast exclusion lives in pos_mask/neg_mask directly (the
+    # reference's separate logits_mask is subsumed by them)
     pos_mask = same_t * (1.0 - eye)
     neg_mask = (1.0 - same_t) * pair_valid_t
 

@@ -125,10 +125,21 @@ class PyramidEfficientNet(nn.Module):
         stem_bns = [_bn(self.dtype, f"stem_bn_{i}") for i in range(self.pyramid_levels)]
 
         stages = []
+        # stochastic depth scales linearly with the global block index
+        # (reference efficientnet_pytorch/model.py:262-264:
+        # drop_connect_rate *= idx / len(blocks)) — the first block gets 0,
+        # the last ~0.2·(N−1)/N; a constant 0.2 would over-drop the early
+        # trunk
+        total_blocks = sum(n for (_, _, n, _, _) in B0_BLOCKS)
+        gidx = 0
         for si, (t, c, n, s, k) in enumerate(B0_BLOCKS):
-            blocks = [MBConv(c, t, kernel=k, stride=(s if bi == 0 else 1),
-                             dtype=self.dtype, name=f"stage{si}_{bi}")
-                      for bi in range(n)]
+            blocks = []
+            for bi in range(n):
+                blocks.append(MBConv(
+                    c, t, kernel=k, stride=(s if bi == 0 else 1),
+                    drop_connect=0.2 * gidx / total_blocks,
+                    dtype=self.dtype, name=f"stage{si}_{bi}"))
+                gidx += 1
             stages.append(blocks)
 
         bnecks = {si: conv_kxk(self.num_features, k=1, dtype=self.dtype,

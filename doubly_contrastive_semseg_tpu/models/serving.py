@@ -22,7 +22,12 @@ from ..ops.seghead_pallas import fused_seghead_upsample_argmax
 def make_serving_fn(model, use_pallas_head: bool = True) -> Callable:
     """Returns fn(variables, image) -> (B, H, W) int8 label map (19 classes
     fit; int8 quarters the full-res output traffic vs int32)."""
-    is_weathernet = hasattr(model, "backbone")  # DCSSModel
+    from .weathernet import DCSSModel
+
+    # only DCSSModel carries the net/segmentation BNReluConv head the fused
+    # kernel reads (a hasattr-"backbone" test also matched DeepLabDCSS,
+    # whose param tree has no 'net' — KeyError instead of the fallback)
+    is_weathernet = isinstance(model, DCSSModel)
     if jax.default_backend() == "cpu":
         use_pallas_head = False  # Mosaic kernels don't lower on CPU
 

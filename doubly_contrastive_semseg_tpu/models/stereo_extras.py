@@ -411,6 +411,11 @@ class SemRefine(nn.Module):
     second_pass: bool = False           # extra deformable U-net pass (New10)
     disp_in_channels: int = 1
     sem_channels: int = 128
+    # New5/New9/New12 comment out the entire residual+relu+scale epilogue
+    # (reference refinement.py:752-757, 858-862, 1085-1089) and return the
+    # raw learned map; we keep the (B, H, W) contract (the reference leaves
+    # theirs un-squeezed at [B, 1, H, W], which no caller normalizes)
+    raw_disp_head: bool = False
     dtype: Dtype = jnp.float32
 
     def _se_gate(self, x: jax.Array, name: str) -> jax.Array:
@@ -484,6 +489,8 @@ class SemRefine(nn.Module):
         xd = _BasicConv(32, deconv=True, dtype=dt, name="deconv1")(x, train)
         xd = _BasicConv(32, deconv=True, dtype=dt, name="deconv2")(xd, train)
         delta = conv_kxk(1, 3, bias=True, dtype=dt, name="final_disp")(xd)
+        if self.raw_disp_head:
+            return delta.astype(jnp.float32)[..., 0], sem
         base = resize_bilinear(low_disp[..., :1].astype(jnp.float32), hw)
         disp = nn.relu(delta.astype(jnp.float32) + base)[..., 0] * scale
         return disp, sem
@@ -503,13 +510,15 @@ REFINE_NEW_VARIANTS: Dict[str, Dict] = {
                  input_attention=True),
     "new4": dict(enc_ch=16, combine="sum", sem_head_full_res=False),
     "new5": dict(enc_ch=48, combine="concat", sem_head_full_res=False,
-                 disp_in_channels=48),
+                 disp_in_channels=48, raw_disp_head=True),
     "new9": dict(enc_ch=48, combine="sum", sem_head_full_res=False,
-                 input_attention=True, disp_in_channels=48),
+                 input_attention=True, disp_in_channels=48,
+                 raw_disp_head=True),
     "new10": dict(enc_ch=32, combine="sum", sem_head_full_res=False,
                   second_pass=True),
     "new12": dict(enc_ch=48, combine="concat", sem_head_full_res=False,
-                  input_attention=True, disp_in_channels=48),
+                  input_attention=True, disp_in_channels=48,
+                  raw_disp_head=True),
 }
 
 

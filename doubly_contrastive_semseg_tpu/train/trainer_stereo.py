@@ -125,6 +125,28 @@ class StereoTrainer:
         self.cur_epochs = 0
         self.num_iter = 0
         self.best_epe = float("inf")
+        if cfg.resume is not None:
+            # the RODSNet recipes chain checkpoints (sceneflow pretrain →
+            # kitti_mix → kitti_2015, tjsong_train.sh:80-98); without this
+            # every stereo --resume silently trained from random init
+            import os
+
+            if not os.path.isdir(cfg.resume) and not os.path.isfile(cfg.resume):
+                raise RuntimeError(f"=> no checkpoint found at '{cfg.resume}'")
+            self.state, meta = self.ckpt.restore(
+                cfg.resume, self.state,
+                continue_training=cfg.continue_training)
+            if cfg.continue_training:
+                self.cur_epochs = int(meta.get("epoch", -1)) + 1
+                self.num_iter = int(meta.get("num_iter", 0)) + 1
+                saved_best = float(meta.get("best_score", 0.0))
+                # 0.0 = no best recorded (EPE is lower-better; an exact 0.0
+                # best is unreachable in practice)
+                self.best_epe = saved_best if saved_best > 0.0 else float("inf")
+                logging.info("Training state restored from %s (epoch %d)",
+                             cfg.resume, self.cur_epochs)
+            else:
+                logging.info("Weights restored from %s", cfg.resume)
         self._train_step = jax.jit(make_stereo_train_step(self.model, cfg, self.tx),
                                    donate_argnums=(0,))
         self._eval_fwd = jax.jit(
@@ -150,7 +172,9 @@ class StereoTrainer:
                 self.writer.add_scalar("train/disp_loss",
                                        float(metrics["disp_loss"]), self.num_iter)
 
-    def validate(self) -> Dict[str, float]:
+    def validate(self, save_ckpt: bool = True) -> Dict[str, float]:
+        """``save_ckpt=False`` for --test_only: evaluate without touching
+        latest/best checkpoints."""
         epes, d1s, t1s = [], [], []
         variables = {"params": self.state.params,
                      "batch_stats": self.state.batch_stats}
@@ -167,8 +191,13 @@ class StereoTrainer:
                      res["epe"], res["d1"], res["thres1"])
         self.writer.add_scalar("val/epe", res["epe"], self.cur_epochs)
         self.writer.add_scalar("val/d1", res["d1"], self.cur_epochs)
-        self.ckpt.save("latest_checkpoint", self.state, self.cur_epochs)
+        if not save_ckpt:
+            return res
         if res["epe"] < self.best_epe:
             self.best_epe = res["epe"]
-            self.ckpt.save("score_best_checkpoint", self.state, self.cur_epochs)
+            self.ckpt.save("score_best_checkpoint", self.state,
+                           self.cur_epochs, score=res,
+                           best_score=self.best_epe)
+        self.ckpt.save("latest_checkpoint", self.state, self.cur_epochs,
+                       score=res, best_score=self.best_epe)
         return res

@@ -37,7 +37,10 @@ def parse_args():
     p.add_argument("--img_width", type=int, default=None,
                    help="resize width (default: native)")
     p.add_argument("--img_height", type=int, default=None)
-    p.add_argument("--save_color", action="store_true", default=True)
+    # BooleanOptionalAction so color dumps are on by default (like the
+    # reference's color script) but can actually be disabled
+    p.add_argument("--save_color", action=argparse.BooleanOptionalAction,
+                   default=True)
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--stereo", action="store_true", default=False,
@@ -45,6 +48,18 @@ def parse_args():
     p.add_argument("--right_input", type=str, default=None,
                    help="right-view image file or directory (stereo mode)")
     p.add_argument("--max_disp", type=int, default=192)
+    # model composition must match the trained checkpoint (StereoTrainer
+    # passes the same three through; a mismatched tree would silently
+    # partial-restore and run random refinement weights)
+    p.add_argument("--train_semantic", action="store_true", default=False,
+                   help="checkpoint was trained with the semantic head")
+    p.add_argument("--aggregation_type", default="adaptive",
+                   choices=["adaptive", "stereonet", "psmnet_basic",
+                            "psmnet_hg", "gcnet"])
+    p.add_argument("--refinement_type", default="semantic",
+                   choices=["semantic", "stereonet", "stereodrnet",
+                            "hourglass", "disp_sem", "new1", "new2", "new3",
+                            "new4", "new5", "new9", "new10", "new12"])
     p.add_argument("--val_img_height", type=int, default=None,
                    help="pad inputs up to this eval size before the forward, "
                         "crop the disparity back after (KITTI protocol)")
@@ -76,7 +91,9 @@ def stereo_main(args):
     os.makedirs(args.output_dir, exist_ok=True)
 
     model = StereoDCSS(max_disp=args.max_disp, num_classes=args.num_classes,
-                       train_semantic=False,
+                       train_semantic=args.train_semantic,
+                       aggregation_type=args.aggregation_type,
+                       refinement_type=args.refinement_type,
                        dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16"
                        else jnp.float32)
     variables = None
@@ -189,8 +206,9 @@ def main():
             times.append(dt)
 
         stem = os.path.splitext(os.path.basename(path))[0]
+        # argmax over num_classes channels never emits an ignore id — the
+        # grayscale dump is the raw train-id map
         gray = pred.astype(np.uint8)
-        gray[pred == 19] = 255
         Image.fromarray(gray).save(os.path.join(args.output_dir, stem + "_pred.png"))
         if args.save_color:
             color = ACDC.decode_target(pred.copy()).astype(np.uint8)

@@ -34,7 +34,11 @@ def main() -> None:
         from doubly_contrastive_semseg_tpu.train.trainer_stereo import StereoTrainer
 
         trainer = StereoTrainer(cfg)
-        for epoch in range(cfg.epochs):
+        if cfg.test_only:
+            # single evaluation pass from --resume; don't touch checkpoints
+            trainer.validate(save_ckpt=False)
+            return
+        for epoch in range(trainer.cur_epochs, cfg.epochs):
             trainer.cur_epochs = epoch
             trainer.train()
             trainer.validate()

@@ -34,6 +34,12 @@ echo "=== [3/7] stereo trainer (synthetic disparity, EPE/D1 validation) ==="
 python main.py "${COMMON[@]}" --epochs 1 --checkname smoke_stereo \
     --transfer_disparity --criterion none --refinement_type stereonet
 
+echo "=== [3b/7] stereo --test_only --resume (restore + eval, no ckpt writes) ==="
+SCKPT=$(ls -d "$WORK"/run/synthetic/smoke_stereo/*/checkpoints/latest_checkpoint | head -1)
+python main.py "${COMMON[@]}" --checkname smoke_stereo_eval \
+    --transfer_disparity --criterion none --refinement_type stereonet \
+    --test_only --resume "$SCKPT"
+
 echo "=== [4/7] semantic inference CLI (checkpoint restore + color dumps) ==="
 python - <<'EOF'
 from PIL import Image

@@ -29,7 +29,9 @@ def _cfg(model, extra=()):
     "enet", "deeplabv3plus_resnet50",
     # deeplab contract already covered by the rn50 case; the mnv2-backbone
     # compile costs ~30s on the CI host -> slow tier
-    pytest.param("deeplabv3_mobilenet", marks=pytest.mark.slow)])
+    pytest.param("deeplabv3_mobilenet", marks=pytest.mark.slow),
+    # train=True exercises the depth-scaled drop-connect path
+    pytest.param("efficientnetb0", marks=pytest.mark.slow)])
 def test_model_contract_supcon(name):
     cfg = _cfg(name)
     model = build_model(cfg)

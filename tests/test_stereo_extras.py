@@ -108,7 +108,13 @@ def test_semantic_refinement_family(rng, kind):
                                      mutable=["batch_stats"])
     assert out_disp.shape == (1, h, w)
     assert out_sem.shape[-1] == 128
-    assert (np.asarray(out_disp) >= 0).all()
+    if cfg.get("raw_disp_head"):
+        # New5/9/12 return the raw learned map: the reference comments out
+        # the residual+relu+scale epilogue (refinement.py:752-757), so
+        # negative values are legitimate there
+        assert np.isfinite(np.asarray(out_disp)).all()
+    else:
+        assert (np.asarray(out_disp) >= 0).all()
 
 
 @pytest.mark.parametrize("agg", ["stereonet", "psmnet_basic"])
