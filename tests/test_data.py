@@ -541,3 +541,25 @@ def test_class_weights_with_two_crop_samples():
     assert isinstance(train_dst[0], list)  # precondition: two-crop items
     freq = compute_class_frequencies(train_dst, cfg.num_classes, max_samples=2)
     assert freq.shape == (19,) and abs(freq.sum() - 1.0) < 1e-6
+
+
+def test_thread_safe_rng_concurrent_draws_stay_sane():
+    """ThreadSafeRng must keep the wrapped generator's state coherent under
+    concurrent draws (the loader pool draws from several threads): N threads
+    each pulling K uniforms must produce N*K values with no duplicates —
+    racing raw Generator state routinely duplicates draws."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from doubly_contrastive_semseg_tpu.data.transforms import ThreadSafeRng
+
+    rng = ThreadSafeRng(np.random.default_rng(0))
+
+    def draw(_):
+        return [float(rng.uniform(0.0, 1.0)) for _ in range(200)]
+
+    with ThreadPoolExecutor(8) as pool:
+        vals = sum(pool.map(draw, range(8)), [])
+    assert len(vals) == 1600
+    assert len(set(vals)) == 1600  # unique ⇒ no torn/duplicated draws
+    # non-callable attribute passthrough
+    assert hasattr(rng, "bit_generator")
