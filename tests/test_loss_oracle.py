@@ -224,3 +224,20 @@ def test_pixel_contrast_forward_matches_reference(rng):
         jnp.asarray(feats), jnp.asarray(labels), jnp.asarray(logits),
         jax.random.PRNGKey(0), num_classes=c))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_smooth_l1_matches_torch(rng):
+    """The disparity loss's smooth-L1 elementwise kernel vs torch's own
+    F.smooth_l1_loss (beta=1) — the reference's DisparityLosses block
+    (loss.py:478-565) is commented out there, so torch's public op is the
+    ground truth for the formulation it used."""
+    import torch
+    import torch.nn.functional as F
+
+    from doubly_contrastive_semseg_tpu.losses.disparity import _smooth_l1
+
+    x = rng.standard_normal((64, 64)).astype(np.float32) * 3.0
+    got = np.asarray(_smooth_l1(jnp.asarray(x)))
+    want = F.smooth_l1_loss(torch.tensor(x), torch.zeros(64, 64),
+                            reduction="none").numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
