@@ -94,8 +94,10 @@ def run_bench(height: int, width: int, batch_size: int, iters: int,
     mean_t = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        outs = [forward(params, batch_stats, x) for _ in range(iters)]
-        fence(outs[-1])
+        out = None
+        for _ in range(iters):  # keep only the last output — retaining all
+            out = forward(params, batch_stats, x)  # K would pin O(K) HBM
+        fence(out)
         mean_t = min(mean_t, (time.perf_counter() - t0) / iters)
 
     t1 = time.perf_counter()
@@ -127,6 +129,8 @@ def main() -> None:
         # keeps the driver's bench run short
         candidates = [args.batch_size] if args.batch_size else [8]
         iters, warmup = args.iters, args.warmup
+    if bool(args.height) != bool(args.width):
+        raise SystemExit("--height and --width must be given together")
     if args.height and args.width:
         h, w = args.height, args.width
 
@@ -160,6 +164,12 @@ def main() -> None:
     }
     if nhwc_fps:
         out["nhwc_input_fps"] = round(nhwc_fps, 2)
+    if best == 0.0:
+        # every candidate failed — make the failure unmistakable instead of
+        # a success-shaped 0.0 line with exit code 0
+        out["error"] = "all batch sizes failed; see stderr"
+        print(json.dumps(out))
+        raise SystemExit(1)
     print(json.dumps(out))
 
 

@@ -79,8 +79,10 @@ def main() -> None:
     mean_t = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        outs = [forward(variables, left, right) for _ in range(args.iters)]
-        fence(outs[-1])
+        out = None
+        for _ in range(args.iters):  # retain only the last output (HBM)
+            out = forward(variables, left, right)
+        fence(out)
         mean_t = min(mean_t, (time.perf_counter() - t0) / args.iters)
 
     fps = b / mean_t

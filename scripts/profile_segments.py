@@ -25,8 +25,7 @@ import numpy as np
 
 def timeit(fn, args, iters=20, warmup=2):
     jitted = jax.jit(fn)
-    out = jitted(*args)
-    leaf = jax.tree_util.tree_leaves(out)[0]
+    jitted(*args)  # compile
 
     def fence(o):
         l = jax.tree_util.tree_leaves(o)[0]
@@ -75,20 +74,29 @@ def main():
 
     results = {}
 
-    # ---- fence-overhead calibration: a trivial op ----
+    # ---- fence-overhead calibration: a trivial op (diagnostic, not summed) ----
     tiny = rand((8, 128))
-    results["calib_null(+1 on 8x128)"] = timeit(lambda x: x + 1, (tiny,), args.iters)
+    calib = timeit(lambda x: x + 1, (tiny,), args.iters)
 
     # ---- input pyramid (fused s2d form) ----
     from doubly_contrastive_semseg_tpu.ops.input_pipeline import (
         fused_pyramid_s2d)
 
-    img = jax.device_put(jnp.ones((B, H, W, 3), jnp.float32), dev)
+    # feed the pyramid what the flagship serving path feeds it: host-packed
+    # s2d frames in the bench dtype — plain NHWC f32 here would charge the
+    # pyramid rows a ~6.5 ms/batch-8 on-device relayout that bench.py's
+    # headline never pays, biasing every fusion conclusion
+    from doubly_contrastive_semseg_tpu.ops.input_pipeline import s2d_pack
+
+    img_host = s2d_pack(np.ones((B, H, W, 3), np.float32))
+    img = jax.device_put(jnp.asarray(img_host).astype(dt), dev)
     mean = (73.15, 82.90, 72.3)
     std = (47.67, 48.49, 47.73)
     results["pyramid_s2d(3 lvls)"] = timeit(
         lambda im: fused_pyramid_s2d(im, 3, mean, std, dt), (img,), args.iters)
-    results["pyramid_s2d(lvl0 only)"] = timeit(
+    # lvl0-only is a diagnostic SUBSET of the 3-lvl row — excluded from SUM
+    diagnostics = {}
+    diagnostics["pyramid_s2d(lvl0 only)"] = timeit(
         lambda im: fused_pyramid_s2d(im, 1, mean, std, dt), (img,), args.iters)
 
     # ---- stem per level: 4x4 s2d conv 12->64 + bn/relu + maxpool 3x3/2 ----
@@ -184,6 +192,9 @@ def main():
 
     total = sum(results.values())
     print(f"\n=== segment breakdown, batch {B}, {W}x{H}, {args.dtype} ===")
+    print(f"{'calib_null(+1 on 8x128), not summed':45s} {calib:8.3f} ms")
+    for k, v in diagnostics.items():
+        print(f"{k + ', not summed':45s} {v:8.3f} ms")
     for k, v in results.items():
         print(f"{k:45s} {v:8.3f} ms")
     print(f"{'SUM':45s} {total:8.3f} ms   ({B / total * 1000:.1f} fps equiv)")
