@@ -40,3 +40,23 @@ def test_fused_blend_matches_xla(rng, hw):
     # tight check on relative magnitude
     denom = np.abs(want).mean()
     assert np.abs(got - want).mean() / denom < 0.02
+
+    # TIGHT elementwise bar against a dtype-matched reference (bf16 inputs/
+    # activation, f32 BN + accum — the kernel's exact regime): the loose f32
+    # bars above leave room for a localized real bug (one misweighted border
+    # row sits under atol=0.12); at matched dtypes only accumulation-order
+    # noise remains
+    eps = 1e-5
+    a = scale / jnp.sqrt(var + eps)
+    shift = bias - mean * a
+    xb = x.astype(jnp.bfloat16)
+    hb, wb = skip.shape[1], skip.shape[2]
+    upb = resize_bilinear(xb, (hb, wb))              # ×2 phases in bf16
+    pre = upb.astype(jnp.bfloat16) + skip.astype(jnp.bfloat16)
+    actb = jnp.maximum(pre.astype(jnp.float32) * a + shift, 0.0
+                       ).astype(jnp.bfloat16)
+    want_b = np.asarray(jax.lax.conv_general_dilated(
+        actb, k.astype(jnp.bfloat16), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32))
+    np.testing.assert_allclose(got, want_b, rtol=2e-2, atol=2e-2)

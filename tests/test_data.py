@@ -98,6 +98,19 @@ def test_two_crop_and_collate():
     assert batch["label"].shape == (3, 32, 32)
     # the two views of the same sample must differ (independent crops)
     assert not np.array_equal(batch["left"][0], batch["left"][3])
+    # PIN the layout: [all view0 ++ all view1], NOT per-sample interleaved —
+    # the model's pooled[:b]/pooled[b:] supcon pairing depends on it. Constant
+    # per-sample images survive any crop, so row i and row i+B must carry the
+    # same constant.
+    const_pairs = []
+    for i in range(3):
+        sample = {"left": np.full((8, 8, 3), float(i), np.float32),
+                  "label": np.zeros((8, 8), np.int64)}
+        const_pairs.append([dict(sample), dict(sample)])
+    cb = collate(const_pairs)["left"]
+    for i in range(3):
+        assert float(cb[i][0, 0, 0]) == float(i)          # view 0, sample i
+        assert float(cb[i + 3][0, 0, 0]) == float(i)      # view 1, sample i
 
 
 def test_synthetic_end_to_end_loader():
@@ -139,9 +152,13 @@ def test_class_weights():
     assert freq.shape == (19,) and abs(freq.sum() - 1.0) < 1e-6
     w = balanced_class_weights(freq, 0.1)
     assert (w > 0).all()
-    # rarer classes get larger weights
+    # exact formula (reference init_trainer.py:205-213) — an all-ones
+    # regression would pass any monotonicity-only check
+    np.testing.assert_allclose(w, 1.0 / np.log(1.1 + freq), rtol=1e-6)
+    # rarer classes get STRICTLY larger weights (synthetic freqs differ)
     order = np.argsort(freq)
-    assert w[order[0]] >= w[order[-1]]
+    assert freq[order[0]] < freq[order[-1]]
+    assert w[order[0]] > w[order[-1]]
 
 
 def test_acdc_label_encoding_roundtrip():
@@ -231,9 +248,15 @@ def test_torchvision_fork_transforms():
     # labels stay a valid id set (NEAREST, no blending)
     assert set(np.unique(np.asarray(out["label"]))) <= set(range(5)) | {255}
 
+    # all-VALID label map (no planted 255s): any 255 in the output must come
+    # from the out-of-canvas ignore fill itself — with a pre-existing 255
+    # block the assert was tautological
+    s_valid = dict(s)
+    s_valid["label"] = Image.fromarray(
+        np.asarray(s["label"]) % 5, mode=s["label"].mode)
     aff = RandomAffine(degrees=20, translate=(0.2, 0.2), scale=(0.8, 1.2),
                        shear=5, ignore_id=255, rng=np.random.default_rng(1))
-    out = aff(dict(s))
+    out = aff(s_valid)
     assert out["left"].size == s["left"].size
     lbl = np.asarray(out["label"])
     assert set(np.unique(lbl)) <= set(range(5)) | {255}

@@ -241,3 +241,28 @@ def test_smooth_l1_matches_torch(rng):
     want = F.smooth_l1_loss(torch.tensor(x), torch.zeros(64, 64),
                             reduction="none").numpy()
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_oracle_holds_under_production_compile_flags():
+    """The whole suite runs with jax_disable_most_optimizations=True for
+    compile speed (conftest), i.e. numerics are asserted under a compilation
+    mode production never uses. This meta-test re-runs a representative
+    oracle (focal/CE vs the torch reference) in a subprocess with
+    NO_FAST_COMPILE=1 so the full XLA optimization pipeline gets periodic
+    coverage in the slow tier."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["NO_FAST_COMPILE"] = "1"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
+         os.path.join(os.path.dirname(__file__),
+                      "test_loss_oracle.py::test_focal2_and_ce_match_reference")],
+        env=env, capture_output=True, text=True, timeout=1200,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert proc.returncode == 0, proc.stdout + proc.stderr

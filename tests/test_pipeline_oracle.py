@@ -66,9 +66,23 @@ def test_evaluator_matches_reference(rng, tmp_path):
                                ref.Pixel_Accuracy_Class())
     f_ref = str(tmp_path / "ref_val_results.txt")
     f_my = str(tmp_path / "my_val_results.txt")
-    np.testing.assert_allclose(
-        np.nan_to_num(mine.Mean_Intersection_over_Union(f_my)),
-        np.nan_to_num(ref.Mean_Intersection_over_Union(f_ref)))
+    np.testing.assert_allclose(mine.Mean_Intersection_over_Union(f_my),
+                               ref.Mean_Intersection_over_Union(f_ref))
+
+    # absent-class edge: a stream where some classes never appear must
+    # produce the SAME NaN/nanmean behavior as the reference (wrapping both
+    # sides in nan_to_num would mask exactly this divergence)
+    ref2, mine2 = sm.Evaluator(c, w), Evaluator(c, w)
+    gt2 = rng.integers(0, 3, (2, 24, 32))        # only classes 0-2 present
+    pred2 = rng.integers(0, 3, (2, 24, 32))
+    wea2 = rng.integers(0, w, (2,))
+    ref2.add_batch(gt2, pred2, wea2)
+    mine2.add_batch(gt2, pred2, wea2)
+    want = ref2.Mean_Intersection_over_Union(str(tmp_path / "r2.txt"))
+    got = mine2.Mean_Intersection_over_Union(str(tmp_path / "m2.txt"))
+    assert np.isnan(want) == np.isnan(got)
+    if not np.isnan(want):
+        np.testing.assert_allclose(got, want)
 
 
 def test_label_boundary_transform_matches_reference(rng):

@@ -193,6 +193,32 @@ def test_serving_path_matches_reference(reference_weathernet, tmp_path):
     assert labels.shape == labels_ref.shape
     assert (labels == labels_ref).mean() == 1.0
 
+    # NOTE: make_serving_fn forces the planar path on CPU (Mosaic can't
+    # lower here), so the line above does NOT exercise the fused Pallas
+    # head against the reference. Close that hole explicitly: run the fused
+    # head in interpret mode on the REFERENCE-IMPORTED seg-head weights and
+    # decoder features — this pins the kernel's BN-folding/eps/bias
+    # assumptions to the actual torch module, not to a local recomputation
+    # written from the same understanding.
+    from doubly_contrastive_semseg_tpu.ops.seghead_pallas import (
+        fused_seghead_upsample_argmax)
+
+    out = m.apply({"params": params, "batch_stats": stats}, xj, train=False)
+    seg_p = params["net"]["segmentation"]
+    seg_s = stats["net"]["segmentation"]
+    fused = np.asarray(fused_seghead_upsample_argmax(
+        out["fine_feat"].astype(jnp.bfloat16),
+        seg_p["norm"]["scale"], seg_p["norm"]["bias"],
+        seg_s["norm"]["mean"], seg_s["norm"]["var"],
+        seg_p["conv"]["kernel"], seg_p["conv"]["bias"],
+        interpret=True)).astype(np.int64)
+    assert fused.shape == labels_ref.shape
+    # bf16 kernel numerics flip a small tail of near-tie pixels on a
+    # randomly-initialized (warm-BN) head; a real semantic mismatch (wrong
+    # eps, mis-folded BN) disagrees catastrophically, not marginally
+    agree = (fused == labels_ref).mean()
+    assert agree > 0.995, f"fused-head vs reference argmax agreement {agree}"
+
 
 @pytest.mark.slow  # converter block-enumeration variant; rn18+deeplab run in the default gate
 def test_resnet34_forward_parity(tmp_path):

@@ -55,8 +55,13 @@ def test_fused_seghead_matches_reference(rng, h):
 def test_fused_seghead_never_picks_padded_class(rng):
     b, h, w, cin, c = 1, 16, 8, 128, 19
     feat = rng.standard_normal((b, h, w, cin)).astype(np.float32)
+    # force EVERY real-class logit negative via the class bias: an unmasked
+    # padded class would score ~0 and win at every pixel, so this fails
+    # deterministically if the -1e30 padded-class masking regresses (with
+    # zero bias a broken mask only flips ~2e-4 of runs — no power)
+    cbias = np.full((c,), -1000.0, np.float32)
     out = np.asarray(fused_seghead_upsample_argmax(
         jnp.asarray(feat), jnp.ones(cin), jnp.zeros(cin), jnp.zeros(cin),
         jnp.ones(cin), jnp.asarray(rng.standard_normal((cin, c)), jnp.float32),
-        jnp.zeros(c), interpret=True))
+        jnp.asarray(cbias), interpret=True))
     assert out.max() < c

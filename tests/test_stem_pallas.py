@@ -41,21 +41,36 @@ def test_stem_supports_gate():
     assert not supports(jnp.zeros((1, 40, 32, 12)))   # fewer rows than a block
 
 
-def test_model_fused_stem_equals_plain(rng):
+def test_model_fused_stem_equals_plain(rng, monkeypatch):
     """Whole-model eval forward with the fused stem (interpret) vs the XLA
-    stem: identical params/stats tree, logits equal to float tolerance."""
+    stem: identical params/stats tree, logits equal to float tolerance.
+    Guards that the fused kernel actually ENGAGED — the use_fused gate in
+    resnet_pyramid has five conditions, and if any silently stops matching
+    this would compare the XLA path against itself forever."""
     from doubly_contrastive_semseg_tpu.models import DCSSModel
+    from doubly_contrastive_semseg_tpu.ops import stem_pallas
+
+    calls = {"n": 0}
+    real = stem_pallas.fused_stem_pool
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(stem_pallas, "fused_stem_pool", counting)
 
     x = jnp.asarray(rng.uniform(0, 255, (1, 128, 128, 3)).astype(np.float32))
     model = DCSSModel(backbone="resnet18", num_classes=19, weather_num=4,
                       dtype=jnp.float32)
     v = model.init(jax.random.PRNGKey(0), x, train=False)
     out_plain = model.apply(v, x, train=False)
+    assert calls["n"] == 0  # CPU without the env var: XLA stem
     os.environ["DCSS_STEM_INTERPRET"] = "1"
     try:
         out_fused = model.apply(v, x, train=False)
     finally:
         del os.environ["DCSS_STEM_INTERPRET"]
+    assert calls["n"] > 0, "fused stem gate never engaged — tautological test"
     np.testing.assert_allclose(np.asarray(out_fused["seg"]),
                                np.asarray(out_plain["seg"]),
                                rtol=1e-4, atol=1e-4)
