@@ -20,11 +20,14 @@ v2 (this file) vs the round-1 kernel:
 - the label map is emitted as **int8** (19 classes), quartering the output
   write traffic; caller-visible dtype is int8.
 
-Grid: (batch, row-tiles). Each program DMAs its (TILE_H+2, W, 128) bf16
-feature slab HBM→VMEM, folds BN into scale/shift, computes channel-planar
-logits (C, ·) with one MXU contraction, expands the 4 bilinear phases per
-axis, and argmaxes over the C planes. The 4 column phases write 4 outputs
-that the caller lane-interleaves with one cheap int8 stack+reshape.
+Grid: flat (batch · row-tiles). Each program DMAs its (TILE_H+2, W, 128)
+bf16 feature slab HBM→VMEM — double-buffered over two scratch slots (the
+copy for tile s+1 is started before waiting on tile s's, so HBM reads
+overlap the previous tile's compute) — folds BN into scale/shift, computes
+channel-planar logits (C, ·) with one MXU contraction, expands the 4
+bilinear phases per axis, and argmaxes over the C planes. The 4 column
+phases write 4 outputs that the caller lane-interleaves with one cheap
+int8 stack+reshape.
 """
 
 from __future__ import annotations
@@ -52,13 +55,14 @@ def _phases4(prev: jax.Array, cur: jax.Array, nxt: jax.Array):
 
 
 def _kernel(feat_hbm, wt_ref, ab_ref, bias_ref,
-            out0_ref, out1_ref, out2_ref, out3_ref, scratch, sem,
-            *, tile_h: int, h: int, w: int, w_pad: int, c_pad: int):
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    n_tiles = -(-h // tile_h)  # static
+            out0_ref, out1_ref, out2_ref, out3_ref, scratch, sems,
+            *, tile_h: int, h: int, w: int, w_pad: int, c_pad: int,
+            n_batch: int):
+    s = pl.program_id(0)                 # flat step over (batch, row-tiles)
+    n_tiles = -(-h // tile_h)            # static
+    total = n_batch * n_tiles            # static
 
-    # This tile wants feature rows [i·T − 1, i·T + T + 1) with edge
+    # Each tile wants feature rows [i·T − 1, i·T + T + 1) with edge
     # replication at the image border — no XLA pre-pad (that copy costs
     # ~0.8 ms at the headline shape). DMA T+2 rows from a clamped start and
     # fix the edge tiles up with static row moves:
@@ -66,36 +70,59 @@ def _kernel(feat_hbm, wt_ref, ab_ref, bias_ref,
     #                 row 0 on top (shift = −1, static);
     #   i == last:    rows [h−T−2, h) land; shift up by r+1 where
     #                 r = n·T − h is the ragged tail (static per shape).
-    start = jnp.clip(i * tile_h - 1, 0, h - (tile_h + 2))
-    copy = pltpu.make_async_copy(
-        feat_hbm.at[b, pl.ds(start, tile_h + 2)],
-        scratch.at[:, pl.ds(0, w), :], sem)
-    copy.start()
-    copy.wait()
+    # The DMAs are DOUBLE-BUFFERED over two scratch slots: program s starts
+    # the copy for s+1 before waiting on its own, so HBM reads overlap the
+    # previous tile's compute instead of serializing with it (~256 tiles at
+    # the headline shape — the wait-per-program latency was the bulk of the
+    # kernel's gap to its bandwidth floor).
+    def _copy(step, slot):
+        bb = step // n_tiles
+        ii = step % n_tiles
+        st = jnp.clip(ii * tile_h - 1, 0, h - (tile_h + 2))
+        return pltpu.make_async_copy(
+            feat_hbm.at[bb, pl.ds(st, tile_h + 2)],
+            scratch.at[slot, :, pl.ds(0, w), :], sems.at[slot])
+
+    slot = jax.lax.rem(s, 2)
+
+    @pl.when(s == 0)
+    def _prime():
+        _copy(s, slot).start()
+
+    @pl.when(s + 1 < total)
+    def _prefetch():
+        _copy(s + 1, 1 - slot).start()
+
+    _copy(s, slot).wait()
+
+    i = s % n_tiles
+
+    cur = scratch.at[slot]
 
     @pl.when(i == 0)
     def _fix_top():
         for k in range(tile_h + 1, 0, -1):  # shift +1, top halo = row 0
-            scratch[k] = scratch[k - 1]
+            cur[k] = cur[k - 1]
 
     tail_shift = (n_tiles * tile_h + 1) - h  # ≥ 1; 1 when h % T == 0
     if tail_shift > 0:
         @pl.when((i == n_tiles - 1) & (i > 0))
         def _fix_bottom():
             for k in range(0, tile_h + 2):  # ascending: reads not yet written
-                scratch[k] = scratch[min(k + tail_shift, tile_h + 1)]
+                cur[k] = cur[min(k + tail_shift, tile_h + 1)]
 
-    x = scratch[:]                                   # (tile_h+2, w_pad, 128)
+    x = cur[:]                                       # (tile_h+2, w_pad, 128)
     a = ab_ref[0, :]                                 # folded BN scale (f32)
-    bb = ab_ref[1, :]                                # folded BN shift (f32)
-    h = jnp.maximum(x.astype(jnp.float32) * a + bb, 0.0).astype(jnp.bfloat16)
+    shift = ab_ref[1, :]                             # folded BN shift (f32)
+    act = jnp.maximum(x.astype(jnp.float32) * a + shift,
+                      0.0).astype(jnp.bfloat16)
 
     n = (tile_h + 2) * w_pad
-    h2 = h.reshape(n, h.shape[-1])
+    act2 = act.reshape(n, act.shape[-1])
     # channel-planar logits: (C, 128) · (N, 128)ᵀ → (C, N); minor dims stay
     # multiples of 128 so Mosaic accepts every reshape
     logits = jax.lax.dot_general(
-        wt_ref[:], h2, (((1,), (1,)), ((), ())),
+        wt_ref[:], act2, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     # per-class bias; padded classes carry -1e30 so they never win the argmax
     logits = logits + bias_ref[:]
@@ -103,9 +130,9 @@ def _kernel(feat_hbm, wt_ref, ab_ref, bias_ref,
 
     # H phases: rows k ∈ [0, tile_h) use halo rows k, k+1, k+2
     prev = logits[:, 0:tile_h, :]
-    cur = logits[:, 1:tile_h + 1, :]
+    mid = logits[:, 1:tile_h + 1, :]
     nxt = logits[:, 2:tile_h + 2, :]
-    hp = jnp.stack(_phases4(prev, cur, nxt), axis=2)          # (C, th, 4, w_pad)
+    hp = jnp.stack(_phases4(prev, mid, nxt), axis=2)          # (C, th, 4, w_pad)
     hp = hp.reshape(c_pad, 4 * tile_h, w_pad)
 
     # W phases: col j blends cols j-1, j, j+1 with edge replication, built as
@@ -134,6 +161,15 @@ def fused_seghead_upsample_argmax(
     """(B, 4h, 4w) int8 label map. Matches
     ``argmax(resize_bilinear(BNReluConv(feat), 4×))`` (eval-mode BN)."""
     b, h, w, cin = feat.shape
+    # Mosaic requires the manual HBM→VMEM DMA's W slice to be 8-aligned.
+    # Edge-replication padding is exact here: the ×4 bilinear at the last
+    # valid column blends col w (replicated = col w−1), which is precisely
+    # the kernel's own edge-replication rule, so slicing the output back to
+    # 4·w reproduces the unpadded result bit-for-bit.
+    w_orig = w
+    if w % 8:
+        feat = jnp.pad(feat, ((0, 0), (0, 0), (0, -w % 8), (0, 0)), mode="edge")
+        w = feat.shape[2]
     kernel2d = conv_kernel.reshape(cin, -1)
     c = kernel2d.shape[-1]
     c_pad = max(8, ((c + 7) // 8) * 8)
@@ -163,31 +199,32 @@ def fused_seghead_upsample_argmax(
         featp = jnp.pad(featp, ((0, 0), (0, 0), (0, 0), (0, cin_p - cin)))
 
     w_pad = ((w + 2 + 127) // 128) * 128
-    grid = (b, n_tiles)
+    grid = (b * n_tiles,)  # flat: the double-buffer slot cycles across batch
     kernel = functools.partial(_kernel, tile_h=TILE_H, h=h, w=w, w_pad=w_pad,
-                               c_pad=c_pad)
+                               c_pad=c_pad, n_batch=b)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),                 # feat (manual DMA)
-            pl.BlockSpec((c_pad, cin_p), lambda b_, i: (0, 0),
+            pl.BlockSpec((c_pad, cin_p), lambda s: (0, 0),
                          memory_space=pltpu.VMEM),             # weights
-            pl.BlockSpec((2, cin_p), lambda b_, i: (0, 0),
+            pl.BlockSpec((2, cin_p), lambda s: (0, 0),
                          memory_space=pltpu.VMEM),             # bn scale/shift
-            pl.BlockSpec((c_pad, 1), lambda b_, i: (0, 0),
+            pl.BlockSpec((c_pad, 1), lambda s: (0, 0),
                          memory_space=pltpu.VMEM),             # class bias
         ],
-        out_specs=[pl.BlockSpec((1, 4 * TILE_H, w), lambda b_, i: (b_, i, 0),
+        out_specs=[pl.BlockSpec((1, 4 * TILE_H, w),
+                                lambda s: (s // n_tiles, s % n_tiles, 0),
                                 memory_space=pltpu.VMEM) for _ in range(4)],
         out_shape=[jax.ShapeDtypeStruct((b, 4 * hp_rows, w), jnp.int8)
                    for _ in range(4)],
         scratch_shapes=[
-            pltpu.VMEM((TILE_H + 2, w_pad, cin_p), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, TILE_H + 2, w_pad, cin_p), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(featp, wt_full, ab_full, bias_col)
     # interleave the 4 W-phases: 4 × (B, 4hp, w) → (B, 4hp, w, 4) → (B, 4hp, 4w)
     full = jnp.stack(out, axis=-1).reshape(b, 4 * hp_rows, 4 * w)
-    return full[:, :4 * h] if hp_rows != h else full
+    return full[:, :4 * h, :4 * w_orig]

@@ -25,10 +25,12 @@ def _reference_path(feat, scale, bias, mean, var, kernel, cbias, eps=1e-5,
     return np.asarray(jnp.argmax(up, axis=-1))
 
 
-@pytest.mark.parametrize("h", [16, 14])  # 14: non-multiple of TILE_H (the
-# 1080p ACDC shape has 270 feature rows — same padded-tail path)
-def test_fused_seghead_matches_reference(rng, h):
-    b, w, cin, c = 2, 24, 128, 19
+@pytest.mark.parametrize("h,w", [(16, 24), (14, 24), (13, 30)])
+# h=14: non-multiple of TILE_H (the 1080p ACDC shape has 270 feature rows —
+# same padded-tail path); (13, 30): W not a multiple of 8, exercising the
+# wrapper's edge-replication W pad (Mosaic requires 8-aligned DMA slices)
+def test_fused_seghead_matches_reference(rng, h, w):
+    b, cin, c = 2, 128, 19
     feat = rng.standard_normal((b, h, w, cin)).astype(np.float32)
     scale = rng.uniform(0.5, 1.5, cin).astype(np.float32)
     bias = rng.standard_normal(cin).astype(np.float32)
