@@ -162,6 +162,8 @@ class Config:
     compute_dtype: str = "bfloat16"  # activations dtype under jit; params stay fp32
     num_devices: Optional[int] = None  # data-parallel mesh size; None = all local
     pretrained: Optional[str] = None  # path to a torch resnet .pth to convert
+    deform_impl: str = "window"  # stereo deform conv: "window" (TPU fast path,
+    # offsets clamped to ±2px — exact inside the clamp) | "gather" (unclamped)
     train_projection: bool = False  # reference leaves SupCon proj head unoptimized (loss.py:104-109 params never reach the optimizer); opt-in to train it
     train_weather_clf: bool = False  # likewise the weather classifier (init_trainer.py:160-177 optimizes self.model only)
     train_seg_head: bool = False  # reference ADAM groups also omit WeatherNet's seg head: random_init_params() drops self.segmentation (weathernet.py:100-102, the chain including it is commented out); opt-in to actually train it
@@ -340,6 +342,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["bfloat16", "float32"])
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--pretrained", type=str, default=None)
+    p.add_argument("--deform_impl", type=str, default=d.deform_impl,
+                   choices=["window", "gather"])
     _add_bool_flag(p, "train_projection", False)
     _add_bool_flag(p, "train_weather_clf", False)
     _add_bool_flag(p, "train_seg_head", False)

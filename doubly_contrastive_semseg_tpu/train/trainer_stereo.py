@@ -103,6 +103,7 @@ class StereoTrainer:
             train_semantic=cfg.train_semantic,
             aggregation_type=cfg.aggregation_type,
             refinement_type=cfg.refinement_type,
+            deform_impl=getattr(cfg, "deform_impl", "window"),
             dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32)
         self.mesh = make_mesh(cfg.num_devices)
 

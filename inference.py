@@ -60,6 +60,10 @@ def parse_args():
                    choices=["semantic", "stereonet", "stereodrnet",
                             "hourglass", "disp_sem", "new1", "new2", "new3",
                             "new4", "new5", "new9", "new10", "new12"])
+    p.add_argument("--deform_impl", default="window",
+                   choices=["window", "gather"],
+                   help="stereo deform conv impl: dense-window TPU fast path "
+                        "(offsets clamped to ±2px) vs exact gather")
     p.add_argument("--val_img_height", type=int, default=None,
                    help="pad inputs up to this eval size before the forward, "
                         "crop the disparity back after (KITTI protocol)")
@@ -94,6 +98,7 @@ def stereo_main(args):
                        train_semantic=args.train_semantic,
                        aggregation_type=args.aggregation_type,
                        refinement_type=args.refinement_type,
+                       deform_impl=args.deform_impl,
                        dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16"
                        else jnp.float32)
     variables = None

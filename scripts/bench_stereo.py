@@ -36,6 +36,10 @@ def main() -> None:
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--refinement_type", default="disp_sem",
+                   help="default matches the baseline protocol: the 18.5-fps "
+                        "run used --refinement_type ours = Refine_disp_sem "
+                        "(reference scripts/tjsong_train.sh:31-35)")
     args = p.parse_args()
 
     import jax
@@ -45,7 +49,8 @@ def main() -> None:
     from doubly_contrastive_semseg_tpu.models.stereo import StereoDCSS
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    model = StereoDCSS(max_disp=args.max_disp, num_classes=19, dtype=dtype)
+    model = StereoDCSS(max_disp=args.max_disp, num_classes=19,
+                       refinement_type=args.refinement_type, dtype=dtype)
 
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):

@@ -23,6 +23,7 @@ from doubly_contrastive_semseg_tpu.ops.cost_volume import (  # noqa: E402
 from doubly_contrastive_semseg_tpu.ops.deform_conv import (  # noqa: E402
     DeformConv2d,
     modulated_deform_conv,
+    modulated_deform_conv_window,
 )
 from doubly_contrastive_semseg_tpu.ops.warp import disp_warp  # noqa: E402
 
@@ -83,6 +84,84 @@ def test_deform_conv_integer_offset_shifts_sampling(rng):
     # interior matches; the border column differs (zero-pad vs shifted pad)
     np.testing.assert_allclose(np.asarray(got)[:, 1:-1, 1:-2],
                                np.asarray(want)[:, 1:-1, 1:-2], rtol=2e-4, atol=1e-4)
+
+
+def test_deform_conv_window_matches_gather_inside_radius(rng):
+    """The TPU fast path (dense static-shift window) is the SAME bilinear
+    rule as the gather oracle whenever offsets stay inside the window radius
+    — bit-identical in float64 (verified offline); here f32 to ~1e-2 of an
+    output scale of ~10 from correlated summation-order rounding."""
+    b, h, w, ci, co, g = 2, 10, 12, 8, 6, 2
+    x = jnp.asarray(rng.standard_normal((b, h, w, ci)).astype(np.float32))
+    kernel = jnp.asarray(rng.standard_normal((3, 3, ci, co)).astype(np.float32))
+    off = jnp.asarray(rng.uniform(-1.9, 1.9, (b, h, w, g * 9 * 2)).astype(np.float32))
+    mask = jnp.asarray(rng.uniform(0, 1, (b, h, w, g * 9)).astype(np.float32))
+    want = modulated_deform_conv(x, off, mask, kernel, stride=1, padding=1,
+                                 dilation=1, deform_groups=g)
+    got = modulated_deform_conv_window(x, off, mask, kernel, padding=1,
+                                       dilation=1, deform_groups=g, radius=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-3, atol=5e-3)
+    # dilation-2 / padding-2 form (the mdconv in DeformSimpleBottleneck)
+    off2 = jnp.asarray(rng.uniform(-2.0, 2.0, (b, h, w, 18)).astype(np.float32))
+    want2 = modulated_deform_conv(x, off2, None, kernel, stride=1, padding=2,
+                                  dilation=2, deform_groups=1)
+    got2 = modulated_deform_conv_window(x, off2, None, kernel, padding=2,
+                                        dilation=2, deform_groups=1, radius=2)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_deform_conv_window_grads_match_gather(rng):
+    """Autodiff through the window form = autodiff through the gather form
+    (x, offset, and mask cotangents), since the forward maths is identical."""
+    b, h, w, ci, co, g = 1, 8, 8, 4, 4, 1
+    x = jnp.asarray(rng.standard_normal((b, h, w, ci)).astype(np.float32))
+    kernel = jnp.asarray(rng.standard_normal((3, 3, ci, co)).astype(np.float32))
+    off = jnp.asarray(rng.uniform(-1.5, 1.5, (b, h, w, 18)).astype(np.float32))
+    mask = jnp.asarray(rng.uniform(0, 1, (b, h, w, 9)).astype(np.float32))
+
+    def loss_gather(xx, oo, mm):
+        return modulated_deform_conv(xx, oo, mm, kernel, stride=1, padding=1,
+                                     dilation=1, deform_groups=g).sum()
+
+    def loss_win(xx, oo, mm):
+        return modulated_deform_conv_window(xx, oo, mm, kernel, padding=1,
+                                            dilation=1, deform_groups=g).sum()
+
+    gx, go, gm = jax.grad(loss_gather, argnums=(0, 1, 2))(x, off, mask)
+    wx, wo, wm = jax.grad(loss_win, argnums=(0, 1, 2))(x, off, mask)
+    np.testing.assert_allclose(np.asarray(wx), np.asarray(gx), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(wo), np.asarray(go), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(wm), np.asarray(gm), atol=1e-4)
+
+
+def test_deform_conv_window_clamps_large_offsets(rng):
+    """Offsets beyond the radius saturate at the window edge (documented
+    deviation): a +10px x-offset behaves exactly like a +radius offset."""
+    b, h, w, ci, co = 1, 8, 8, 3, 3
+    x = jnp.asarray(rng.standard_normal((b, h, w, ci)).astype(np.float32))
+    kernel = jnp.asarray(rng.standard_normal((3, 3, ci, co)).astype(np.float32))
+    big = jnp.zeros((b, h, w, 9, 2)).at[..., 1].set(10.0).reshape(b, h, w, 18)
+    capped = jnp.zeros((b, h, w, 9, 2)).at[..., 1].set(2.0).reshape(b, h, w, 18)
+    got = modulated_deform_conv_window(x, big, None, kernel, padding=1,
+                                       deform_groups=1, radius=2)
+    want = modulated_deform_conv_window(x, capped, None, kernel, padding=1,
+                                        deform_groups=1, radius=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_deform_conv2d_module_window_impl(rng):
+    """DeformConv2d(impl='window') at zero-init equals the gather impl
+    exactly (offsets start at 0 → both are a plain conv)."""
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 4)).astype(np.float32))
+    mg = DeformConv2d(features=4, kernel_size=3, stride=1, padding=2,
+                      dilation=2, deformable_groups=2, impl="gather")
+    mw = DeformConv2d(features=4, kernel_size=3, stride=1, padding=2,
+                      dilation=2, deformable_groups=2, impl="window")
+    v = mg.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(np.asarray(mw.apply(v, x)),
+                               np.asarray(mg.apply(v, x)), atol=2e-5)
 
 
 def test_deform_conv2d_module_grads(rng):
