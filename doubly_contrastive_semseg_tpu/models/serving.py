@@ -50,3 +50,39 @@ def make_serving_fn(model, use_pallas_head: bool = True) -> Callable:
         return jnp.argmax(out["seg"], axis=-1).astype(jnp.int8)
 
     return serve
+
+
+def make_stereo_serving_fn(model, use_pallas_head: bool = True) -> Callable:
+    """Joint-serving analog of :func:`make_serving_fn` for ``StereoDCSS``:
+    fn(variables, left, right) -> (disparity (B, H, W) f32,
+    label map (B, H, W) int8). The label map comes from the fused Pallas
+    serving head fed by the shared-trunk left features — the model's generic
+    seg path (full-res f32 logits resize, reference ``rodsnet.py``'s
+    ``F.interpolate`` epilogue) is dead code under jit and gets DCE'd, so
+    serving never materializes the (B, H, W, 19) logit tensor."""
+    from .stereo import StereoDCSS
+
+    is_dcss = isinstance(model, StereoDCSS) and model.train_semantic
+    if jax.default_backend() == "cpu":
+        use_pallas_head = False  # Mosaic kernels don't lower on CPU
+
+    def serve(variables, left, right):
+        out = model.apply(variables, left, right, train=False)
+        disp = out["disp"].astype(jnp.float32)
+        if is_dcss and use_pallas_head and out["fine_feat"].shape[1] >= 10:
+            seg_p = variables["params"]["segmentation"]
+            seg_s = variables["batch_stats"]["segmentation"]
+            labels = fused_seghead_upsample_argmax(
+                out["fine_feat"],
+                seg_p["norm"]["scale"], seg_p["norm"]["bias"],
+                seg_s["norm"]["mean"], seg_s["norm"]["var"],
+                seg_p["conv"]["kernel"], seg_p["conv"]["bias"],
+            )
+        elif "seg_beforeup" in out and \
+                out["seg_beforeup"].shape[1] * 4 == out["seg"].shape[1]:
+            labels = upsample4x_argmax(out["seg_beforeup"]).astype(jnp.int8)
+        else:
+            labels = jnp.argmax(out["seg"], axis=-1).astype(jnp.int8)
+        return disp, labels
+
+    return serve

@@ -68,12 +68,13 @@ def main() -> None:
     left = jax.device_put(jnp.asarray(x_host), device)
     right = left
 
-    @jax.jit
-    def forward(variables, left, right):
-        out = model.apply(variables, left, right, train=False)
-        # materialize exactly the user-facing outputs: full-res disparity +
-        # the argmax label map (same contract as the reference's test loop)
-        return out["disp"], jnp.argmax(out["seg"], axis=-1).astype(jnp.uint8)
+    from doubly_contrastive_semseg_tpu.models.serving import make_stereo_serving_fn
+
+    # materialize exactly the user-facing outputs: full-res disparity + the
+    # argmax label map (same contract as the reference's test loop). The
+    # serving fn routes the label map through the fused Pallas seg head, so
+    # the (B, H, W, 19) f32 logit tensor is never written to HBM.
+    forward = jax.jit(make_stereo_serving_fn(model))
 
     def fence(out):
         return float(jax.device_get(out[0][0, 0, 0]))
