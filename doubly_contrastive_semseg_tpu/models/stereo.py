@@ -209,6 +209,9 @@ class StereoDCSS(nn.Module):
     @nn.compact
     def __call__(self, left: jax.Array, right: jax.Array, *,
                  train: bool = False) -> Dict[str, jax.Array]:
+        from ..ops.input_pipeline import image_hw, is_s2d_image, s2d_unpack
+
+        ih, iw = image_hw(left)
         fe = resnet18_pyramid(dtype=self.dtype, name="feature_extractor")
         # one trunk pass over both views stacked on the batch axis — the two
         # views share weights, and a 2B batch keeps the MXU fuller than two
@@ -252,17 +255,24 @@ class StereoDCSS(nn.Module):
                                       name="segmentation")(left_feat, train=train)
             seg_beforeup = seg_beforeup.astype(jnp.float32)
             out["seg_beforeup"] = seg_beforeup
-            out["seg"] = resize_bilinear(
-                seg_beforeup, (left.shape[-3], left.shape[-2]))
+            out["seg"] = resize_bilinear(seg_beforeup, (ih, iw))
 
         from .stereo_extras import REFINE_NEW_VARIANTS, make_refinement
 
+        # SemRefine-family heads consume host-packed s2d input directly
+        # (folded stem, see _ImageStem7x7); the image-concat heads need the
+        # plain NHWC image — unpack once on device for those only
+        def left_nhwc():
+            return s2d_unpack(left) if is_s2d_image(left) else left
+
         if self.refinement_type == "semantic" and self.train_semantic:
             disp = SemanticGuidedRefinement(dtype=self.dtype, name="refinement")(
-                disp_low, left, left_feat, train)
+                disp_low, left_nhwc(), left_feat, train)
         elif self.refinement_type in ("stereodrnet", "hourglass"):
+            r_nhwc = s2d_unpack(right) if is_s2d_image(right) else right
             disp = make_refinement(self.refinement_type, dtype=self.dtype,
-                                   name="refinement")(disp_low, left, right, train)
+                                   name="refinement")(disp_low, left_nhwc(),
+                                                      r_nhwc, train)
         elif self.refinement_type in REFINE_NEW_VARIANTS:
             disp, sem_ref = make_refinement(self.refinement_type, dtype=self.dtype,
                                             name="refinement")(
@@ -270,7 +280,7 @@ class StereoDCSS(nn.Module):
             out["sem_refined"] = sem_ref
         else:
             disp = StereoNetRefinement(dtype=self.dtype, name="refinement")(
-                disp_low, left, train)
+                disp_low, left_nhwc(), train)
         out["disp"] = disp
         out["fine_feat"] = left_feat
         out["fine_feat0"] = left_feat

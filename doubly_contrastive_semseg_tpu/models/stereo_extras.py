@@ -37,6 +37,34 @@ from .blocks import batch_norm, conv_kxk
 Dtype = Any
 
 
+class _ImageStem7x7(nn.Module):
+    """7×7/s2 image-stem conv kernel at checkpoint path ``<name>/kernel``
+    (dense (7, 7, 3, 64) — the torch-convert source of truth). Applies the
+    dense stride-2 form on NHWC input, or the equivalent folded 4×4/s1 s2d
+    form when the host loader feeds space-to-depth-packed batches (the same
+    algebra the main trunk stem uses; see ``ops/input_pipeline.py``)."""
+
+    features: int = 64
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, left: jax.Array) -> jax.Array:
+        from ..ops.input_pipeline import (is_s2d_image, s2d_stem_geometry,
+                                          stem_s2d_fold)
+
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, 3, self.features), jnp.float32)
+        x = left.astype(self.dtype)
+        if is_s2d_image(left):
+            _, pad = s2d_stem_geometry(7)
+            return jax.lax.conv_general_dilated(
+                x, stem_s2d_fold(kernel).astype(self.dtype), (1, 1),
+                [pad, pad], dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return jax.lax.conv_general_dilated(
+            x, kernel.astype(self.dtype), (2, 2), [(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 # ---------------------------------------------------------------------------
 # 3-D conv helpers (channels-last, (B, D, H, W, C))
 # ---------------------------------------------------------------------------
@@ -426,18 +454,19 @@ class SemRefine(nn.Module):
     @nn.compact
     def __call__(self, low_disp: jax.Array, left: jax.Array,
                  left_sem: jax.Array, train: bool):
+        from ..ops.input_pipeline import image_hw
+
         dt = self.dtype
-        hw = (left.shape[-3], left.shape[-2])
+        hw = image_hw(left)
         if low_disp.ndim == 3:
             low_disp = low_disp[..., None]
         scale = hw[1] / low_disp.shape[-2]
 
-        # stem: 7×7/s2 → BN → ReLU → maxpool (refinement.py:216-220)
+        # stem: 7×7/s2 → BN → ReLU → maxpool (refinement.py:216-220);
+        # accepts NHWC or host-packed s2d input (folded kernel, same math)
         from .blocks import max_pool_3x3_s2
 
-        f = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, dtype=dt, param_dtype=jnp.float32,
-                    name="conv0")(left.astype(jnp.float32))
+        f = _ImageStem7x7(dtype=dt, name="conv0")(left)
         f = batch_norm(dt, name="bn0")(f, use_running_average=not train)
         f = max_pool_3x3_s2(nn.relu(f))
 

@@ -193,10 +193,13 @@ def modulated_deform_conv_window(
     cy = cy.astype(compute_dtype)
     cx = cx.astype(compute_dtype)
 
-    cols = []
+    # accumulate per-(group, tap) matmuls instead of materializing the
+    # (B, H, W, K·Cin) im2col stack (226 MB at the aggregation shapes —
+    # writing + re-reading it costs more than the narrow K=cg contractions)
+    k2d = kernel.reshape(k, cin, cout)
+    out = jnp.zeros((b, h, w, cout), jnp.float32)
     for gi in range(g):
         xg = xp[..., gi * cg:(gi + 1) * cg]
-        taps = []
         for kk in range(k):
             ty = tap_lo + (kk // kw) * dilation
             tx = tap_lo + (kk % kw) * dilation
@@ -210,12 +213,11 @@ def modulated_deform_conv_window(
                     wx = cx[:, :, :, gi, kk, i, None]
                     row = row + wx * xg[:, dy:dy + h, dx:dx + w, :]
                 acc = acc + wy * row
-            taps.append(acc)
-        cols.append(jnp.stack(taps, axis=-2))               # (B,H,W,K,cg)
-    col = cols[0] if g == 1 else jnp.concatenate(cols, axis=-1)
-
-    out = jnp.einsum("bhwki,kio->bhwo", col, kernel.reshape(k, cin, cout),
-                     preferred_element_type=jnp.float32).astype(x.dtype)
+            wk = k2d[kk, gi * cg:(gi + 1) * cg, :].astype(compute_dtype)
+            out = out + jax.lax.dot_general(
+                acc, wk, dimension_numbers=(((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    out = out.astype(x.dtype)
     if bias is not None:
         out = out + bias
     return out

@@ -111,6 +111,37 @@ def space_to_depth2_nhwc(xp: jax.Array) -> jax.Array:
     return xr.reshape(b, h // 2, w // 2, c * 4)
 
 
+def s2d_unpack(x: jax.Array) -> jax.Array:
+    """Inverse of :func:`s2d_pack` on device: (B, H/2, W/2, 4C) → (B, H, W, C).
+    Used when a host-packed s2d batch reaches a module that needs the plain
+    NHWC image (e.g. refinement heads that concat the image with disparity)."""
+    b, h2, w2, cc = x.shape
+    c = cc // 4
+    xr = x.reshape(b, h2, w2, c, 2, 2)                # (..., C, i0, j0)
+    xr = xr.transpose(0, 1, 4, 2, 5, 3)               # (B, H/2, i0, W/2, j0, C)
+    return xr.reshape(b, 2 * h2, 2 * w2, c)
+
+
+def stem_s2d_fold(w_dense: jax.Array) -> jax.Array:
+    """Traced-jnp version of :func:`stem_s2d_kernel_from_dense`: fold a dense
+    (k, k, C, O) stride-2 stem kernel into the s2d(2) stride-1 form
+    (k', k', 4C, O) at apply time (the dense params stay the checkpoint /
+    torch-convert source of truth; the fold is a tiny static scatter XLA
+    hoists out of the convolution)."""
+    kh, kw, c, o = w_dense.shape
+    p = kh // 2
+    k_new, (pl_, _) = s2d_stem_geometry(kh)
+    ci = np.arange(c)
+    w_new = jnp.zeros((k_new, k_new, 4 * c, o), w_dense.dtype)
+    for ty in range(kh):
+        ka, i0 = ((ty - p) >> 1) + pl_, (ty - p) & 1
+        for tx in range(kw):
+            kb, j0 = ((tx - p) >> 1) + pl_, (tx - p) & 1
+            w_new = w_new.at[ka, kb, ci * 4 + i0 * 2 + j0, :].set(
+                w_dense[ty, tx, :, :])
+    return w_new
+
+
 def s2d_stem_geometry(k: int) -> Tuple[int, Tuple[int, int]]:
     """(new kernel size, (pad_left, pad_right)) for a k×k/stride-2/pad-k//2
     conv re-expressed over the s2d(2) grid."""

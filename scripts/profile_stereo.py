@@ -82,6 +82,15 @@ def main():
     results["trunk_2B"] = timeit(
         lambda v, x: fe.apply(v, x, train=False)[0], (fv, both), args.iters)
 
+    # production path: host loader feeds space-to-depth-packed frames
+    from doubly_contrastive_semseg_tpu.ops.input_pipeline import s2d_pack
+    host = np.random.default_rng(0).standard_normal(
+        (2 * B, H, W, 3)).astype(np.float32)
+    both_s2d = jax.device_put(
+        jnp.asarray(s2d_pack(host)).astype(dt), dev)
+    results["trunk_2B_s2d"] = timeit(
+        lambda v, x: fe.apply(v, x, train=False)[0], (fv, both_s2d), args.iters)
+
     feat = rand((B, H // 4, W // 4, 128))
     feat_r = rand((B, H // 4, W // 4, 128))
 

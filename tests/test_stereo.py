@@ -42,6 +42,23 @@ def test_correlation_volume_recovers_shift(rng):
     assert abs(float(disp[0, 4, 16]) - d_true) < 0.1
 
 
+def test_correlation_volume_mxu_band_matches_shift_form(rng):
+    """The MXU band formulation (D >= 16: Gram matmul + reshape-trick band
+    extraction) equals the per-d shift-and-reduce form, including the
+    zero-padded x-d < 0 border."""
+    b, h, w, c = 2, 4, 40, 8
+    left = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    right = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    d = 16  # takes the MXU band path
+    got = np.asarray(correlation_cost_volume(left, right, d))
+    want = np.stack(
+        [np.asarray(jnp.mean(left * jnp.pad(right, ((0, 0), (0, 0), (dd, 0),
+                                                    (0, 0)))[:, :, :w, :],
+                             axis=-1)) for dd in range(d)], axis=-1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    assert (got[:, :, 0, 1:] == 0).all()  # x - d < 0 region is exactly 0
+
+
 def test_disp_warp_reconstructs():
     b, h, w, c = 1, 4, 16, 2
     right = jnp.asarray(np.arange(b * h * w * c, dtype=np.float32).reshape(b, h, w, c))
