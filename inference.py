@@ -115,8 +115,16 @@ def stereo_main(args):
             pad = ((top_pad, 0), (0, right_pad), (0, 0))
             left = np.pad(left, pad)
             right = np.pad(right, pad)
-        xl = jnp.asarray(left)[None]
-        xr = jnp.asarray(right)[None]
+        # host-side space-to-depth pack (the TPU serving fast path; the trunk
+        # and the SemRefine stem consume it directly — see models/stereo.py)
+        from doubly_contrastive_semseg_tpu.ops.input_pipeline import s2d_pack
+
+        if left.shape[0] % 2 == 0 and left.shape[1] % 2 == 0:
+            xl = jnp.asarray(s2d_pack(left[None]))
+            xr = jnp.asarray(s2d_pack(right[None]))
+        else:
+            xl = jnp.asarray(left)[None]
+            xr = jnp.asarray(right)[None]
 
         if variables is None:
             variables = model.init(jax.random.PRNGKey(0), xl, xr, train=False)
