@@ -78,11 +78,14 @@ def make_stereo_serving_fn(model, use_pallas_head: bool = True) -> Callable:
                 seg_s["norm"]["mean"], seg_s["norm"]["var"],
                 seg_p["conv"]["kernel"], seg_p["conv"]["bias"],
             )
-        elif "seg_beforeup" in out and \
+        elif "seg_beforeup" in out and "seg" in out and \
                 out["seg_beforeup"].shape[1] * 4 == out["seg"].shape[1]:
             labels = upsample4x_argmax(out["seg_beforeup"]).astype(jnp.int8)
-        else:
+        elif "seg" in out:
             labels = jnp.argmax(out["seg"], axis=-1).astype(jnp.int8)
+        else:
+            # disparity-only model (train_semantic=False): no semantic head
+            labels = None
         return disp, labels
 
     return serve

@@ -32,15 +32,18 @@ def correlation_cost_volume(left: jax.Array, right: jax.Array,
 
     Two equivalent formulations, picked by shape:
 
-    - **MXU band** (default for D ≥ 16): one per-row Gram matmul
-      ``G[x, y] = ⟨left_x, right_y⟩`` (a single big ``dot_general`` the MXU
-      loves) followed by band extraction ``out[x, d] = G[x, x−d]`` expressed
-      as the flat-reshape diagonal trick — reverse both axes, pad one
-      element per row, reshape (W, W) → (W, W+1): row i of the new view IS
-      diagonal i (flat index algebra: ``i·(W+1)+j = i·W + (i+j)``). No
-      gather, no per-d slices; computes W/D× extra FLOPs but on the MXU at
-      ~25× the VPU formulation's effective rate (measured 6.7 → ~1.5 ms at
-      (2, 256, 512, 128), D=48).
+    - **MXU band** (default for D ≥ 16): per W-tile Gram matmuls
+      ``G[x, y] = ⟨left_x, right_y⟩`` (big ``dot_general``s the MXU loves)
+      followed by band extraction ``out[x, d] = G[x, x−d]`` expressed as the
+      flat-reshape diagonal trick — pad one element per row, reshape
+      (T, M) → (T, M+1): row t of the new view starts at diagonal t (flat
+      index algebra: ``t·(M+1)+k = t·M + (t+k)``). No gather, no per-d
+      slices. Tiling W into T-wide blocks (each matched against the
+      T+D−1 right columns it can see) keeps both the f32 intermediate and
+      the extra FLOPs at ``(T+D−1)/D ×`` the minimum — independent of W —
+      instead of the ``W/D ×`` a whole-(W, W) Gram costs (which is a
+      ~536 MB intermediate at the 2048-wide serving shape). Measured
+      6.7 → ~1.5 ms vs the VPU formulation at (2, 256, 512, 128), D=48.
     - **shift-and-reduce** (small D): per-d static shifts, elementwise
       mult + channel mean, one fused VPU kernel.
     """
@@ -51,22 +54,36 @@ def correlation_cost_volume(left: jax.Array, right: jax.Array,
                   for dd in range(d)]
         return jnp.stack(slices, axis=-1)
 
-    # G[b,h,x,y] = mean_c L·R — accumulate in f32 on the MXU
+    # tile width: largest divisor of W in [D, 512] (8-aligned for sublanes);
+    # W itself if it's already small enough
+    t = w if w <= 512 else None
+    if t is None:
+        for cand in range(512, d - 1, -8):
+            if w % cand == 0:
+                t = cand
+                break
+    if t is None:  # ragged W: one whole-row Gram tile (the old path)
+        t = w
+    m = t + d - 1
+    nb = w // t
+    # Rp[x + d−1] = R[x]; the zero pad makes x−dd < 0 dot to 0, matching the
+    # reference's zero-filled volume — no mask needed
+    rp = jnp.pad(right, ((0, 0), (0, 0), (d - 1, 0), (0, 0)))
+    lb = left.reshape(b, h, nb, t, c)
+    rb = jnp.stack(
+        [jax.lax.slice_in_dim(rp, i * t, i * t + m, axis=2)
+         for i in range(nb)], axis=2)                     # (B, H, nb, M, C)
+    # G[..., i, t, y] = ⟨L_{iT+t}, Rp_{iT+y}⟩ — f32 accumulate on the MXU
     g = jax.lax.dot_general(
-        left, right,
-        dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
-        preferred_element_type=jnp.float32) / c          # (B, H, W, W)
-    # out[x, d] = G[x, x−d]; with both axes reversed the wanted band is the
-    # upper diagonals: G[x, x−d] = Grev[x', x'+d] at x' = W−1−x
-    grev = g[..., ::-1, ::-1]
-    flat = grev.reshape(b, h, w * w)
-    flat = jnp.pad(flat, ((0, 0), (0, 0), (0, w)))
-    band = flat.reshape(b, h, w, w + 1)[..., :d]          # Grev[x', x'+d]
-    band = band[..., ::-1, :]                             # back to x order
-    # x − d < 0 samples the zero-padded right image in the reference → 0
-    x_idx = jnp.arange(w, dtype=jnp.int32)[:, None]
-    d_idx = jnp.arange(d, dtype=jnp.int32)[None, :]
-    out = jnp.where(d_idx <= x_idx, band, 0.0)
+        lb, rb,
+        dimension_numbers=(((4,), (4,)), ((0, 1, 2), (0, 1, 2))),
+        preferred_element_type=jnp.float32) / c           # (B, H, nb, T, M)
+    # out[x, dd] = G[t, t + (D−1−dd)]: upper diagonals 0..D−1 via the
+    # flat-reshape trick, then reverse the diagonal axis to disparity order
+    flat = g.reshape(b, h, nb, t * m)
+    flat = jnp.pad(flat, ((0, 0), (0, 0), (0, 0), (0, t)))
+    band = flat.reshape(b, h, nb, t, m + 1)[..., :d]      # [..., t, k]=G[t,t+k]
+    out = band[..., ::-1].reshape(b, h, w, d)
     return out.astype(left.dtype)
 
 

@@ -111,7 +111,8 @@ class Visualizer:
 
     def vis_table(self, name: str, tbl: Dict[str, Any],
                   opts: Optional[dict] = None) -> None:
-        name = self._name(name) if self.id is not None else name
+        # unlike vis_scalar/vis_image, the reference's vis_table never
+        # prefixes the id — keep window titles/keys on the same surface
         if self.vis is not None:
             rows = "".join(f"<tr><td>{k}</td><td>{v}</td></tr>"
                            for k, v in tbl.items())

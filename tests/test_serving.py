@@ -44,6 +44,26 @@ def test_stereo_serving_fn_matches_model(rng):
     assert (np.asarray(labels) == want).mean() > 0.999
 
 
+def test_stereo_serving_fn_disparity_only(rng):
+    """train_semantic=False models have no semantic head: the serving fn must
+    return (disp, None) instead of KeyError-ing on out['seg']."""
+    from doubly_contrastive_semseg_tpu.models.serving import make_stereo_serving_fn
+    from doubly_contrastive_semseg_tpu.models.stereo import StereoDCSS
+
+    model = StereoDCSS(max_disp=32, num_classes=19, train_semantic=False,
+                       refinement_type="stereodrnet", dtype=jnp.float32)
+    l = jnp.asarray(rng.uniform(0, 255, (1, 64, 128, 3)).astype(np.float32))
+    r = jnp.asarray(rng.uniform(0, 255, (1, 64, 128, 3)).astype(np.float32))
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)}, l, r, train=False)
+    disp, labels = make_stereo_serving_fn(model)(v, l, r)
+    out = model.apply(v, l, r, train=False)
+    assert "seg" not in out
+    assert labels is None
+    np.testing.assert_allclose(np.asarray(disp), np.asarray(out["disp"]),
+                               rtol=0, atol=1e-5)
+
+
 def test_s2d_unpack_roundtrip(rng):
     from doubly_contrastive_semseg_tpu.ops.input_pipeline import (s2d_pack,
                                                                   s2d_unpack)
