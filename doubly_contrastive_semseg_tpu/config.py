@@ -173,6 +173,12 @@ class Config:
     loader: str = "thread"     # input pipeline: thread (prefetch pool) | grain (deterministic + checkpointable iterators)
     fuse_stem: bool = True     # eval-only fused Pallas stem (ops/stem_pallas.py); --no_fuse_stem falls back to the XLA conv+bn+relu+pool
     trace: bool = False        # capture a jax.profiler device trace of the first epoch
+    reference_rng: bool = False  # A/B parity mode: augmentation draws come from the
+    # legacy np.random stream seeded with random_seed, draw-for-draw identical to the
+    # reference program's global np.random consumption (scripts/ab_reference.py)
+    shuffle: bool = True       # train-loader shuffling; --no_shuffle pins list order
+    # for deterministic A/B runs (reference hard-codes shuffle=True,
+    # init_trainer.py:86-88, so the A/B harness patches both sides off)
     synthetic_size: int = 64   # synthetic dataset: #train samples
     synthetic_hw: str = "128x160"  # synthetic dataset: generated frame HxW
 
@@ -229,6 +235,9 @@ class Config:
             # (--synthetic_hw 1088x1920) use the published 768² recipe so
             # epoch timing is measured at the real training shape
             return (96, 96) if h < 768 else (768, 768)
+        if self.dataset == "city_lost" and self.new_crop:
+            return (1024, 512)  # reference dataloaders/utils.py:64-66
+        return (768, 768)       # reference dataloaders/utils.py:110-112
 
     @property
     def val_wh(self) -> Tuple[int, int]:
@@ -353,6 +362,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--loader", type=str, default=d.loader, choices=["thread", "grain"])
     _add_bool_flag(p, "fuse_stem", True)
     _add_bool_flag(p, "trace", False)
+    _add_bool_flag(p, "reference_rng", False)
+    _add_bool_flag(p, "shuffle", True)
     p.add_argument("--synthetic_size", type=int, default=d.synthetic_size)
     p.add_argument("--synthetic_hw", type=str, default=d.synthetic_hw)
     return p

@@ -26,6 +26,7 @@ from .transforms import (
     GammaCorrection,
     LabelBoundaryTransform,
     RandomSquareCropAndScale,
+    ReferenceRng,
     SetTargetSize,
     ThreadSafeRng,
     ToArrays,
@@ -36,8 +37,17 @@ from .transforms import (
 MEAN_RGB = tuple(np.uint8([73.15, 82.90, 72.3]))
 
 
+def _train_rng(cfg, seed: int):
+    """Augmentation RNG: thread-safe Generator normally; in --reference_rng
+    A/B mode, the reference program's exact legacy np.random stream
+    (single-worker, unshuffled runs only — see scripts/ab_reference.py)."""
+    if getattr(cfg, "reference_rng", False):
+        return ReferenceRng(cfg.random_seed)
+    return ThreadSafeRng(np.random.default_rng(seed))
+
+
 def build_transforms(cfg, crop_wh: Tuple[int, int], seed: int = 0):
-    train_rng = ThreadSafeRng(np.random.default_rng(seed))
+    train_rng = _train_rng(cfg, seed)
     target_size_crops = crop_wh
     target_size_feats = (crop_wh[0] // 4, crop_wh[1] // 4)
 
@@ -101,7 +111,7 @@ def get_dataset(cfg, seed: int = 0):
     if cfg.dataset == "city_lost":
         # CropBlackArea precedes everything for Lost&Found frames
         # (reference dataloaders/utils.py:80-97)
-        train_rng = ThreadSafeRng(np.random.default_rng(seed))
+        train_rng = _train_rng(cfg, seed)
         train_t = Compose([
             CropBlackArea(),
             RandomSquareCropAndScale(crop_wh, mean=MEAN_RGB, ignore_id=255, rng=train_rng),
@@ -128,7 +138,7 @@ def get_dataset(cfg, seed: int = 0):
     if cfg.dataset == "synthetic":
         hw = tuple(int(v) for v in cfg.synthetic_hw.split("x"))  # (h, w)
         crop = cfg.crop_wh
-        train_rng = ThreadSafeRng(np.random.default_rng(seed))
+        train_rng = _train_rng(cfg, seed)
         if cfg.host_augment:
             train_t = Compose([
                 RandomSquareCropAndScale(crop, mean=MEAN_RGB, ignore_id=255,

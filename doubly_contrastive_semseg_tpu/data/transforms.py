@@ -51,6 +51,66 @@ class ThreadSafeRng:
         return locked
 
 
+class ReferenceRng:
+    """Legacy ``np.random`` stream adapter for whole-program A/B parity.
+
+    The reference's train transforms draw from the GLOBAL ``np.random``
+    module (``custom_transforms_acdc.py:459-483``: ``np.random.uniform`` then
+    two ``np.random.randint``), seeded once by ``seed_all_rng``
+    (``utils/logger.py:47``). ``np.random.RandomState(seed)`` reproduces that
+    exact stream without touching the global state, so a single-worker,
+    unshuffled run of this pipeline consumes draw-for-draw the same crop
+    boxes/scales as the reference program given the same seed
+    (``scripts/ab_reference.py``). Maps the ``np.random.Generator`` method
+    surface my transforms use onto the legacy RandomState equivalents.
+    """
+
+    def __init__(self, seed: int):
+        self._rs = np.random.RandomState(seed)
+
+    def uniform(self, low=0.0, high=1.0, size=None):
+        return self._rs.uniform(low, high, size)
+
+    def integers(self, low, high=None, size=None):
+        return self._rs.randint(low, high, size)
+
+    def random(self, size=None):
+        return self._rs.random_sample(size)
+
+    def permutation(self, x):
+        return self._rs.permutation(x)
+
+    def get_state(self):
+        return self._rs.get_state()
+
+    def set_state(self, state) -> None:
+        self._rs.set_state(state)
+
+
+def iter_transform_rngs(transform):
+    """Yield every snapshot-able rng reachable from a transform pipeline
+    (Compose / TwoCropTransform / leaf transforms with an ``rng`` attr) —
+    used by the trainer to leave augmentation streams untouched when it
+    pulls a throwaway sample for shape-only model init."""
+    if transform is None:
+        return
+    stack = [transform]
+    seen = set()
+    while stack:
+        t = stack.pop()
+        if id(t) in seen:
+            continue
+        seen.add(id(t))
+        if isinstance(t, Compose):
+            stack.extend(t.transforms)
+        elif isinstance(t, TwoCropTransform):
+            stack.append(t.transform)
+        rng = getattr(t, "rng", None)
+        if rng is not None and hasattr(rng, "get_state") \
+                and hasattr(rng, "set_state"):
+            yield rng
+
+
 class Compose:
     def __init__(self, transforms: Sequence):
         self.transforms = list(transforms)

@@ -52,7 +52,7 @@ class Trainer:
         from ..data.grain_loader import make_loader
 
         self.train_loader = make_loader(
-            cfg.loader, self.train_dst, cfg.batch_size, shuffle=True,
+            cfg.loader, self.train_dst, cfg.batch_size, shuffle=cfg.shuffle,
             num_workers=cfg.num_workers, drop_last=True, seed=cfg.random_seed)
         self.val_loader = make_loader(
             cfg.loader, self.val_dst, cfg.val_batch_size, shuffle=False,
@@ -205,7 +205,16 @@ class Trainer:
             dst, bs = self.val_dst, self.cfg.val_batch_size
         else:
             dst, bs = self.train_dst, self.cfg.batch_size
+        # shape-only probe: leave augmentation rng streams exactly where they
+        # were so the training stream starts at draw 0 (A/B parity relies on
+        # this; see data/transforms.py::ReferenceRng)
+        from ..data.transforms import iter_transform_rngs
+
+        rngs = list(iter_transform_rngs(getattr(dst, "transform", None)))
+        states = [r.get_state() for r in rngs]
         batch = collate([dst[0]] * bs)
+        for r, s in zip(rngs, states):
+            r.set_state(s)
         return self._device_batch(batch)
 
     def _device_batch(self, batch: Dict) -> Dict:

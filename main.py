@@ -23,8 +23,11 @@ def main() -> None:
         viz.run()
         return
 
-    if cfg.test_only and cfg.resume is None:
-        raise RuntimeError("--test_only requires --resume <checkpoint>")
+    if cfg.test_only and cfg.resume is None and not cfg.pretrained:
+        # reference requires --resume (main.py:42-46); we additionally accept
+        # --pretrained (a torch .pth through the converter) so a reference
+        # checkpoint can be validated directly (scripts/ab_reference.py val-only)
+        raise RuntimeError("--test_only requires --resume or --pretrained")
 
     # stereo datasets route to the disparity trainer (the RODSNet-era path;
     # reference reaches it via the same CLI with stereo datasets)

@@ -1,0 +1,509 @@
+#!/usr/bin/env python
+"""Whole-program A/B parity harness: the reference's OWN trainer vs ours.
+
+Everything else in the repo proves parity component-by-component (losses,
+forwards, train steps, Evaluator). This harness closes the last gap: it runs
+the REFERENCE PROGRAM itself (``/root/reference/main.py:18-56`` →
+``trainer.py:27-666``, torch CPU) and our ``main.py`` end-to-end on the SAME
+on-disk mini-ACDC, from the SAME initial weights, with the SAME augmentation
+draws, and compares per-iteration train losses and per-epoch val IoU.
+
+Determinism contract (what makes the two programs comparable):
+- both loaders pinned to ``num_workers=0, shuffle=False`` (reference side via
+  ``_ab_ref_driver.py``; ours via ``--no_shuffle --num_workers 0``);
+- the reference's augmentation draws come from the GLOBAL ``np.random``
+  seeded with ``random_seed`` (``init_trainer.py:70-77``), exactly
+  ``uniform×1 + randint×2`` per train sample
+  (``custom_transforms_acdc.py:480-505``; the ``random.choice`` on a 1-element
+  list consumes only Python's separate Mersenne Twister). Our
+  ``--reference_rng`` replays that stream via ``np.random.RandomState``;
+- both start from one ``make-init`` checkpoint (reference ``--resume``
+  without ``--continue_training`` = weights-only restore,
+  ``init_trainer.py:242-280``; ours ``--pretrained`` through the proven
+  torch→flax converter);
+- the class-weights ``.npy`` is pregenerated so the reference never iterates
+  the train loader at init (which would shift the np.random stream,
+  ``init_trainer.py:185-213``).
+
+Criteria covered: ``none`` (boundary-aware focal only, fully deterministic)
+and ``supcon_focal`` (two-crop + SupCon, deterministic given aligned crops).
+The pixelcontrast recipes sample anchors with ``torch.randperm``
+(``utils/loss.py:327-329``) — a backend-private RNG that cannot be aligned
+with a JAX program; their math is value+grad oracle-matched at component
+level instead (``tests/test_loss_oracle.py``).
+
+Usage:
+  python scripts/ab_reference.py gen-data --workdir /tmp/ab
+  python scripts/ab_reference.py run --workdir /tmp/ab --criterion none \
+      --epochs 3
+  python scripts/ab_reference.py compare --workdir /tmp/ab --criterion none
+(``run`` ends with the comparison; ``compare`` re-runs it on existing logs.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import re
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DRIVER = os.path.join(REPO, "scripts", "_ab_ref_driver.py")
+
+WEATHERS = ("fog", "night", "rain", "snow")
+# labelIds whose train_id is 0..18 (dataloaders/datasets/acdc.py:30-66), plus
+# a couple of void ids so the 255-ignore path is exercised
+TRAIN_LABEL_IDS = [7, 8, 11, 12, 13, 17, 19, 20, 21, 22, 23, 24, 25, 26, 27,
+                   28, 31, 32, 33]
+VOID_LABEL_IDS = [0, 1, 4]
+ID_TO_TRAIN = np.full(34, 255, np.int64)
+for t, lid in enumerate(TRAIN_LABEL_IDS):
+    ID_TO_TRAIN[lid] = t
+
+
+def _make_frame(rng: np.random.Generator, w: int, h: int):
+    """One synthetic (rgb, labelIds) pair: Voronoi regions of valid labelIds,
+    RGB = per-region base color + noise (so that there is real signal)."""
+    k = int(rng.integers(6, 12))
+    ids = rng.choice(TRAIN_LABEL_IDS + VOID_LABEL_IDS, size=k,
+                     p=None).astype(np.int64)
+    cx = rng.uniform(0, w, k)
+    cy = rng.uniform(0, h, k)
+    yy, xx = np.mgrid[0:h, 0:w]
+    d = (xx[None] - cx[:, None, None]) ** 2 + (yy[None] - cy[:, None, None]) ** 2
+    region = np.argmin(d, axis=0)
+    label = ids[region].astype(np.uint8)
+    base = rng.integers(20, 235, (k, 3)).astype(np.float32)
+    rgb = base[region] + rng.normal(0, 12, (h, w, 3))
+    return np.clip(rgb, 0, 255).astype(np.uint8), label
+
+
+def gen_data(workdir: str, n_train: int, n_val: int, wh: str, seed: int):
+    from PIL import Image
+
+    w, h = (int(v) for v in wh.split("x"))
+    rng = np.random.default_rng(seed)
+    data_root = os.path.join(workdir, "data", "acdc")
+    lists_dir = os.path.join(workdir, "filenames", "acdc")
+    os.makedirs(lists_dir, exist_ok=True)
+
+    freq = np.zeros(19, np.float64)
+    lines = {"train": [], "val": [], "test": []}
+    for split, n in (("train", n_train), ("val", n_val)):
+        for i in range(n):
+            weather = WEATHERS[i % len(WEATHERS)]
+            seq = f"SYN{i // len(WEATHERS):04d}"
+            stem = f"{seq}_frame_{i:06d}"
+            # 6-component paths: ACDC takes frame_name from split('/')[5]
+            # (dataloaders/datasets/acdc.py:133)
+            rel_img = (f"rgb_anon_trainvaltest/rgb_anon/{weather}/{split}/"
+                       f"{seq}/{stem}_rgb_anon.png")
+            rel_gt = (f"gt_trainval/gt/{weather}/{split}/{seq}/"
+                      f"{stem}_gt_labelIds.png")
+            rgb, label = _make_frame(rng, w, h)
+            for rel, arr in ((rel_img, rgb), (rel_gt, label)):
+                p = os.path.join(data_root, rel)
+                os.makedirs(os.path.dirname(p), exist_ok=True)
+                Image.fromarray(arr).save(p)
+            lines[split].append(f"{rel_img} {weather} {rel_gt}")
+            if split == "train":
+                t = ID_TO_TRAIN[label]
+                m = t != 255
+                freq += np.bincount(t[m], minlength=19)
+
+    lines["test"] = lines["val"]
+    for split, ls in lines.items():
+        with open(os.path.join(lists_dir, f"acdc_{split}.txt"), "w") as f:
+            f.write("\n".join(ls) + "\n")
+
+    # pregenerated pixel-ratio cache: both programs load this file verbatim
+    # (init_trainer.py:185-204 / data/weights.py::load_or_compute_class_weights)
+    freq = freq / max(freq.sum(), 1.0)
+    np.save(os.path.join(data_root, "acdc_classes_weights_19_new_raw.npy"),
+            freq)
+    print(f"mini-ACDC at {workdir}: {n_train} train / {n_val} val, "
+          f"{w}x{h}, classes present: {(freq > 0).sum()}/19")
+
+
+def _recipe_argv(criterion: str, epochs: int, bs: int, seed: int,
+                 val_wh: str) -> list:
+    vw, vh = val_wh.split("x")
+    argv = ["--dataset", "acdc", "--model", "resnet18", "--train_semantic",
+            "--epochs", str(epochs), "--batch_size", str(bs),
+            "--val_batch_size", str(bs), "--lr", "4e-4", "--last_lr", "1e-6",
+            "--weight_decay", "1e-4", "--epsilon", "1e-1",
+            "--optimizer_policy", "ADAM", "--lr_policy", "cos_annealing",
+            "--random_seed", str(seed), "--data_root", "data",
+            "--print_freq", "1", "--summary_freq", "100000",
+            "--val_img_width", vw, "--val_img_height", vh]
+    if criterion != "none":
+        argv += ["--criterion", criterion]
+    return argv
+
+
+def _newest_val_results(workdir: str, checkname: str) -> str:
+    base = os.path.join(workdir, "run", "acdc", checkname)
+    cands = []
+    for ts in os.listdir(base):
+        p = os.path.join(base, ts, "val_results.txt")
+        if os.path.isfile(p):
+            cands.append(p)
+    if not cands:
+        raise FileNotFoundError(f"no val_results.txt under {base}")
+    return max(cands, key=os.path.getmtime)
+
+
+def _parse_losses(log_path: str) -> list:
+    pat = re.compile(r"loss: ([0-9.eE+-]+)\s*$")
+    out = []
+    with open(log_path) as f:
+        for line in f:
+            if "Epoch: [" in line:
+                m = pat.search(line)
+                if m:
+                    out.append(float(m.group(1)))
+    return out
+
+
+def _parse_class_iou_blocks(val_results_path: str) -> list:
+    """Each validate() appends one MAIN per-class IoU block (header
+    ``-----------IoU of each class-----------``, stream_metrics.py:220-243)
+    followed by per-weather blocks with distinct headers — returns one
+    {class: iou%} dict per epoch from the main blocks only."""
+    blocks, cur = [], None
+    pat = re.compile(r"^([a-z ]+?)\s*:\s*(nan|[0-9.]+)\s*%?\s*$")
+    with open(val_results_path) as f:
+        for line in f:
+            s = line.strip()
+            if s == "-----------IoU of each class-----------":
+                if cur:
+                    blocks.append(cur)
+                cur = {}
+                continue
+            if "IoU of each class in" in s:  # per-weather sub-block starts
+                if cur:
+                    blocks.append(cur)
+                cur = None
+                continue
+            if cur is not None:
+                m = pat.match(s)
+                if m:
+                    cur[m.group(1).strip()] = float(m.group(2))
+    if cur:
+        blocks.append(cur)
+    return blocks
+
+
+def _parse_epoch_miou(val_results_path: str) -> list:
+    """Per-epoch summary lines: reference ``Epoch: 000\tmIoU: X\tAcc: Y``
+    (saver.py:88-96) / ours ``epoch 0: mIoU X, acc Y``."""
+    out = []
+    pat = re.compile(
+        r"^[Ee]poch:?\s*(\d+):?\s*mIoU:?\s*([0-9.]+)[,\t ]+[Aa]cc:?\s*([0-9.]+)")
+    with open(val_results_path) as f:
+        for line in f:
+            m = pat.match(line.strip())
+            if m:
+                out.append({"epoch": int(m.group(1)),
+                            "miou": float(m.group(2)),
+                            "acc": float(m.group(3))})
+    return out
+
+
+def _run(cmd, cwd, env=None, log_to=None):
+    print(f"+ {' '.join(cmd)}" + (f" > {log_to}" if log_to else ""))
+    e = dict(os.environ)
+    if env:
+        e.update(env)
+    if log_to:
+        with open(log_to, "w") as f:
+            r = subprocess.run(cmd, cwd=cwd, env=e, stdout=f,
+                               stderr=subprocess.STDOUT)
+    else:
+        r = subprocess.run(cmd, cwd=cwd, env=e)
+    if r.returncode != 0:
+        if log_to:
+            sys.stderr.write(open(log_to).read()[-4000:])
+        raise SystemExit(f"command failed ({r.returncode}): {cmd}")
+
+
+def run(workdir: str, criterion: str, epochs: int, bs: int, seed: int,
+        val_wh: str, skip_ref: bool = False, skip_ours: bool = False):
+    workdir = os.path.abspath(workdir)
+    init_ckpt = os.path.join(workdir, "init.pth")
+    if not os.path.isfile(init_ckpt):
+        _run([sys.executable, DRIVER, "make-init", "--out", init_ckpt,
+              "--torch-seed", "123"], cwd=workdir)
+
+    recipe = _recipe_argv(criterion, epochs, bs, seed, val_wh)
+    tag = criterion.replace("_", "")
+
+    if not skip_ref:
+        _run([sys.executable, DRIVER, "train", "--"] + recipe +
+             ["--resume", init_ckpt, "--checkname", f"abref_{tag}"],
+             cwd=workdir, env={"PYTHONHASHSEED": "0"},
+             log_to=os.path.join(workdir, f"ref_{tag}.log"))
+
+    if not skip_ours:
+        # --compute_dtype float32: the torch side is fp32 CPU; running ours
+        # at the default bf16 would measure bf16 rounding amplified through
+        # Adam (measured: supcon drifts to ~1.6e-2 by step 4 in bf16, ~8x
+        # the fp32 chaos floor), not semantic parity
+        _run([sys.executable, os.path.join(REPO, "main.py")] + recipe +
+             ["--pretrained", init_ckpt, "--checkname", f"abours_{tag}",
+              "--reference_rng", "--no_shuffle", "--num_workers", "0",
+              "--loader", "thread", "--no_fuse_stem", "--no_efficient",
+              "--compute_dtype", "float32"],
+             cwd=workdir,
+             env={"PYTHONPATH": REPO, "JAX_PLATFORMS": "cpu",
+                  "PALLAS_AXON_POOL_IPS": "", "PYTHONHASHSEED": "0"},
+             log_to=os.path.join(workdir, f"ours_{tag}.log"))
+
+    return compare(workdir, criterion)
+
+
+def calibrate(workdir: str, criterion: str, epochs: int, bs: int, seed: int,
+              val_wh: str, eps: float = 1e-6):
+    """Measure the CHAOS FLOOR of the A/B regime: run the REFERENCE program
+    itself twice — from ``init.pth`` (already logged by ``run``) and from an
+    eps-perturbed copy — and push the pair through the same metric
+    extraction. Two runs of the *same program* whose weights differ only by
+    backend-noise scale bound what loss/mIoU agreement is even measurable
+    across frameworks; ``compare`` widens its static gates to 2× this floor
+    (``ab_chaos_<tag>.json``)."""
+    workdir = os.path.abspath(workdir)
+    tag = criterion.replace("_", "")
+    init_ckpt = os.path.join(workdir, "init.pth")
+    pert_ckpt = os.path.join(workdir, "init_perturbed.pth")
+    ref_log = os.path.join(workdir, f"ref_{tag}.log")
+    if not os.path.isfile(ref_log):
+        raise SystemExit(f"run the reference first ({ref_log} missing)")
+    if not os.path.isfile(pert_ckpt):
+        _run([sys.executable, DRIVER, "perturb-init", "--src", init_ckpt,
+              "--out", pert_ckpt, "--eps", str(eps)], cwd=workdir)
+    recipe = _recipe_argv(criterion, epochs, bs, seed, val_wh)
+    _run([sys.executable, DRIVER, "train", "--"] + recipe +
+         ["--resume", pert_ckpt, "--checkname", f"abrefp_{tag}"],
+         cwd=workdir, env={"PYTHONHASHSEED": "0"},
+         log_to=os.path.join(workdir, f"refp_{tag}.log"))
+
+    a = np.array(_parse_losses(ref_log))
+    b = np.array(_parse_losses(os.path.join(workdir, f"refp_{tag}.log")))
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+    rel = np.abs(a - b) / np.maximum(np.abs(a), 1e-8)
+    miou_a = _parse_epoch_miou(_newest_val_results(workdir, f"abref_{tag}"))
+    miou_b = _parse_epoch_miou(_newest_val_results(workdir, f"abrefp_{tag}"))
+    floor = {
+        "criterion": criterion, "eps": eps, "n_steps": int(n),
+        "per_step_rel": rel.tolist(),
+        "max_step_rel": float(rel.max()),
+        "miou_abs_diff_pp": [
+            abs(miou_a[e]["miou"] - miou_b[e]["miou"]) * 100
+            for e in range(min(len(miou_a), len(miou_b)))],
+    }
+    with open(os.path.join(workdir, f"ab_chaos_{tag}.json"), "w") as f:
+        json.dump(floor, f, indent=1)
+    print(json.dumps(floor, indent=1))
+    return floor
+
+
+def compare(workdir: str, criterion: str):
+    """Gates (calibrated on the measured run, same discipline as
+    ``tests/test_train_oracle.py::test_train_trajectory_envelope``):
+
+    - step 0 loss rel diff < 1e-4 — the two programs compute the same
+      function of the same bytes (data, crop draws, weights, loss);
+    - per-step envelope ``min(5e-4·2^k, 0.05)`` — fp32 backend noise
+      (torch MKL vs XLA) compounds geometrically through Adam; a wrong
+      BN/decay/LR/group semantic is systematic and blows through early;
+    - per-epoch mean loss rel < 2% — both descend the same curve;
+    - per-epoch val mIoU |Δ| ≤ 0.5 pp — argmax of a 24-step-old param cloud
+      is the chaos-amplified regime; the BASELINE 0.1 pp bar applies to the
+      CONVERGED 400-epoch run (use ``val-only`` for the exact-weights val
+      program check, gated at 0.02 pp).
+
+    If ``calibrate`` has been run, each gate is widened to 2× the measured
+    reference-vs-perturbed-reference floor: a cross-framework diff smaller
+    than twice what the reference program shows *against itself* under
+    1e-6-relative weight noise cannot be evidence of a semantic mismatch.
+    """
+    workdir = os.path.abspath(workdir)
+    tag = criterion.replace("_", "")
+    chaos_path = os.path.join(workdir, f"ab_chaos_{tag}.json")
+    chaos = None
+    if os.path.isfile(chaos_path):
+        with open(chaos_path) as f:
+            chaos = json.load(f)
+    ref_losses = _parse_losses(os.path.join(workdir, f"ref_{tag}.log"))
+    our_losses = _parse_losses(os.path.join(workdir, f"ours_{tag}.log"))
+    ref_val = _newest_val_results(workdir, f"abref_{tag}")
+    our_val = _newest_val_results(workdir, f"abours_{tag}")
+    ref_miou = _parse_epoch_miou(ref_val)
+    our_miou = _parse_epoch_miou(our_val)
+
+    n = min(len(ref_losses), len(our_losses))
+    if n == 0:
+        raise SystemExit("no loss lines parsed — check the logs")
+    rl, ol = np.array(ref_losses[:n]), np.array(our_losses[:n])
+    rel = np.abs(rl - ol) / np.maximum(np.abs(rl), 1e-8)
+    env = np.minimum(5e-4 * 2.0 ** np.arange(n), 0.05)
+    env[0] = 1e-4
+    miou_gate = 0.5
+    if chaos is not None:
+        cs = np.array(chaos["per_step_rel"][:n])
+        env[1:] = np.maximum(env[1:], 2.0 * cs[1:])
+        if chaos["miou_abs_diff_pp"]:
+            miou_gate = max(miou_gate, 2.0 * max(chaos["miou_abs_diff_pp"]))
+    bad_steps = np.nonzero(rel > env)[0].tolist()
+
+    # per-epoch mean loss (ref logs with print_freq=1 so lines == steps)
+    steps_per_epoch = n // max(len(ref_miou), 1) or n
+    ep_ok = []
+    for e in range(n // steps_per_epoch):
+        sl = slice(e * steps_per_epoch, (e + 1) * steps_per_epoch)
+        mr, mo = rl[sl].mean(), ol[sl].mean()
+        ep_ok.append({"epoch": e, "ref_mean_loss": float(mr),
+                      "ours_mean_loss": float(mo),
+                      "rel_diff": float(abs(mr - mo) / mr)})
+
+    result = {
+        "criterion": criterion,
+        "n_train_steps_compared": int(n),
+        "loss_first_step": {"ref": rl[0], "ours": ol[0],
+                            "rel_diff": float(rel[0])},
+        "loss_last_step": {"ref": rl[-1], "ours": ol[-1],
+                           "rel_diff": float(rel[-1])},
+        "loss_max_rel_diff": float(rel.max()),
+        "steps_outside_envelope": bad_steps,
+        "epoch_mean_loss": ep_ok,
+        "miou_per_epoch": [],
+    }
+    for e in range(min(len(ref_miou), len(our_miou))):
+        result["miou_per_epoch"].append({
+            "epoch": e,
+            "ref": ref_miou[e]["miou"] * 100, "ours": our_miou[e]["miou"] * 100,
+            "abs_diff_pp": abs(ref_miou[e]["miou"] - our_miou[e]["miou"]) * 100,
+        })
+
+    miou_worst = max((m["abs_diff_pp"] for m in result["miou_per_epoch"]),
+                     default=float("inf"))
+    result["gates"] = {"miou_pp": miou_gate,
+                       "chaos_calibrated": chaos is not None}
+    out_path = os.path.join(workdir, f"ab_results_{tag}.json")
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result, indent=1))
+
+    ok = (rel[0] < 1e-4 and not bad_steps
+          and all(e["rel_diff"] < 0.02 for e in ep_ok)
+          and miou_worst <= miou_gate)
+    print(f"\nA/B [{criterion}] {'PASS' if ok else 'FAIL'}: "
+          f"step0 rel {rel[0]:.2e}, max rel {rel.max():.2e} over {n} steps "
+          f"(outside envelope: {bad_steps}), worst epoch mIoU Δ "
+          f"{miou_worst:.3f} pp (gate {miou_gate:.3f}"
+          f"{', chaos-calibrated' if chaos is not None else ''})")
+    if not ok:
+        raise SystemExit(1)
+    return result
+
+
+def val_only(workdir: str, bs: int, seed: int, val_wh: str):
+    """Both programs validate the IDENTICAL init checkpoint — the whole val
+    program (list → decode → FixedResize → forward → argmax → confusion →
+    report) on equal weights, where parity must be near-exact."""
+    workdir = os.path.abspath(workdir)
+    init_ckpt = os.path.join(workdir, "init.pth")
+    if not os.path.isfile(init_ckpt):
+        _run([sys.executable, DRIVER, "make-init", "--out", init_ckpt,
+              "--torch-seed", "123"], cwd=workdir)
+    recipe = _recipe_argv("none", 1, bs, seed, val_wh)
+    _run([sys.executable, DRIVER, "train", "--"] + recipe +
+         ["--resume", init_ckpt, "--checkname", "abref_valonly",
+          "--test_only"],
+         cwd=workdir, log_to=os.path.join(workdir, "ref_valonly.log"))
+    # NOTE: val-only intentionally keeps the default bf16 compute — passing
+    # its 0.02 pp gate in the PRODUCTION dtype against the fp32 torch program
+    # is the stronger claim (measured: 0.0009 pp mIoU diff)
+    _run([sys.executable, os.path.join(REPO, "main.py")] + recipe +
+         ["--pretrained", init_ckpt, "--checkname", "abours_valonly",
+          "--test_only", "--no_shuffle", "--num_workers", "0",
+          "--no_fuse_stem", "--no_efficient"],
+         cwd=workdir,
+         env={"PYTHONPATH": REPO, "JAX_PLATFORMS": "cpu",
+              "PALLAS_AXON_POOL_IPS": ""},
+         log_to=os.path.join(workdir, "ours_valonly.log"))
+
+    ref_iou = _parse_class_iou_blocks(
+        _newest_val_results(workdir, "abref_valonly"))[-1]
+    our_iou = _parse_class_iou_blocks(
+        _newest_val_results(workdir, "abours_valonly"))[-1]
+    rv = np.array(list(ref_iou.values()))
+    ov = np.array([our_iou.get(k, float("nan")) for k in ref_iou])
+    miou_r, miou_o = float(np.nanmean(rv)), float(np.nanmean(ov))
+    with np.errstate(invalid="ignore"):
+        worst_class = float(np.nanmax(np.abs(rv - ov)))
+    result = {"mode": "val_only", "ref_miou": miou_r, "ours_miou": miou_o,
+              "abs_diff_pp": abs(miou_r - miou_o),
+              "max_class_iou_diff_pp": worst_class}
+    with open(os.path.join(workdir, "ab_results_valonly.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result, indent=1))
+    ok = result["abs_diff_pp"] <= 0.02
+    print(f"\nA/B [val-only] {'PASS' if ok else 'FAIL'}: mIoU ref "
+          f"{miou_r:.4f} vs ours {miou_o:.4f} "
+          f"(Δ {result['abs_diff_pp']:.4f} pp, worst class "
+          f"{worst_class:.4f} pp)")
+    if not ok:
+        raise SystemExit(1)
+    return result
+
+
+def main():
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="mode", required=True)
+    g = sub.add_parser("gen-data")
+    g.add_argument("--workdir", required=True)
+    g.add_argument("--train", type=int, default=16)
+    g.add_argument("--val", type=int, default=8)
+    g.add_argument("--img-wh", default="960x540")
+    g.add_argument("--seed", type=int, default=7)
+    for name in ("run", "compare", "val-only", "calibrate"):
+        r = sub.add_parser(name)
+        r.add_argument("--workdir", required=True)
+        if name != "val-only":
+            r.add_argument("--criterion", default="none",
+                           choices=["none", "supcon_focal"])
+        if name in ("run", "val-only", "calibrate"):
+            r.add_argument("--bs", type=int, default=2)
+            r.add_argument("--seed", type=int, default=1)
+            r.add_argument("--val-wh", default="512x288")
+        if name in ("run", "calibrate"):
+            r.add_argument("--epochs", type=int, default=3)
+        if name == "run":
+            r.add_argument("--skip-ref", action="store_true")
+            r.add_argument("--skip-ours", action="store_true")
+        if name == "calibrate":
+            r.add_argument("--eps", type=float, default=1e-6)
+    a = p.parse_args()
+    if a.mode == "gen-data":
+        gen_data(a.workdir, a.train, a.val, a.img_wh, a.seed)
+    elif a.mode == "run":
+        run(a.workdir, a.criterion, a.epochs, a.bs, a.seed, a.val_wh,
+            a.skip_ref, a.skip_ours)
+    elif a.mode == "val-only":
+        val_only(a.workdir, a.bs, a.seed, a.val_wh)
+    elif a.mode == "calibrate":
+        calibrate(a.workdir, a.criterion, a.epochs, a.bs, a.seed, a.val_wh,
+                  a.eps)
+    else:
+        compare(a.workdir, a.criterion)
+
+
+if __name__ == "__main__":
+    main()
