@@ -52,8 +52,10 @@ class HRBasicBlock(nn.Module):
 
 
 class ExchangeUnit(nn.Module):
-    """Multi-resolution fusion: every branch receives every other branch,
-    1×1-projected and resampled (strided convs down, bilinear up)."""
+    """Multi-resolution fusion: every branch receives every other branch —
+    strided 3×3 conv chains down, 1×1 conv + NEAREST ×2^k up (the reference's
+    ``nn.Upsample(scale_factor=2^k, mode='nearest')``, ``hrnetv2.py:112-119``
+    — pixel replication, NOT bilinear)."""
 
     widths: Tuple[int, ...]
     dtype: Dtype = jnp.float32
@@ -77,12 +79,13 @@ class ExchangeUnit(nn.Module):
                             y, use_running_average=not train)
                         if not last:
                             y = nn.relu(y)
-                else:  # upsample: 1×1 + bilinear
+                else:  # upsample: 1×1 + nearest ×2^(j-i) replication
                     y = nn.Conv(wi, (1, 1), use_bias=False, dtype=self.dtype,
                                 param_dtype=jnp.float32, name=f"up{j}to{i}")(xj)
                     y = batch_norm(self.dtype, name=f"up{j}to{i}_bn")(
                         y, use_running_average=not train)
-                    y = resize_bilinear(y, (xs[i].shape[-3], xs[i].shape[-2]))
+                    s = 2 ** (j - i)
+                    y = jnp.repeat(jnp.repeat(y, s, axis=-3), s, axis=-2)
                 acc = y if acc is None else acc + y
             outs.append(nn.relu(acc))
         return outs

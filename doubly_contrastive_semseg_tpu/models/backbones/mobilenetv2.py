@@ -37,19 +37,26 @@ INVERTED_RESIDUAL_SETTING = [
 
 
 class ConvBNReLU6(nn.Module):
+    """conv → BN → ReLU6. The deeplab fork sets padding=0 on EVERY ConvBNReLU
+    (``backbone/mobilenetv2.py:36-43``, pad applied to the block INPUT — see
+    InvertedResidual), so ``pad`` defaults to 0/VALID; the stereo trunks'
+    fork passes an explicit pad at the stem (``network/feature.py:355``)."""
+
     features: int
     k: int = 3
     stride: int = 1
     dilation: int = 1
     groups: int = 1
+    pad: int = 0
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        p = self.dilation * (self.k // 2)
+        p = self.pad
         x = nn.Conv(self.features, (self.k, self.k),
                     strides=(self.stride, self.stride),
-                    padding=[(p, p), (p, p)], kernel_dilation=(self.dilation,) * 2,
+                    padding="VALID" if p == 0 else [(p, p), (p, p)],
+                    kernel_dilation=(self.dilation,) * 2,
                     feature_group_count=self.groups, use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32, name="conv")(x)
         x = batch_norm(self.dtype, name="bn")(x, use_running_average=not train)
@@ -57,6 +64,14 @@ class ConvBNReLU6(nn.Module):
 
 
 class InvertedResidual(nn.Module):
+    """Reference quirk reproduced for checkpoint parity
+    (``backbone/mobilenetv2.py:52-82``): the block pads its INPUT by the
+    depthwise dilation and runs the whole expand→dw→project stack on the
+    padded map with zero conv padding. Because the 1×1 expand's BatchNorm
+    shifts the zero border, the depthwise conv sees NON-zero borders — a
+    different function from pad-at-depthwise, so import parity requires
+    this exact form."""
+
     features: int
     stride: int = 1
     dilation: int = 1
@@ -68,7 +83,8 @@ class InvertedResidual(nn.Module):
         in_ch = x.shape[-1]
         hidden = in_ch * self.expand_ratio
         use_res = self.stride == 1 and in_ch == self.features
-        out = x
+        d = self.dilation  # fixed_padding(3, d) = (d, d) per side
+        out = jnp.pad(x, ((0, 0), (d, d), (d, d), (0, 0)))
         if self.expand_ratio != 1:
             out = ConvBNReLU6(hidden, k=1, dtype=self.dtype, name="expand")(out, train)
         out = ConvBNReLU6(hidden, k=3, stride=self.stride, dilation=self.dilation,
@@ -85,6 +101,8 @@ class MobileNetV2(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> Dict[str, jax.Array]:
+        # the reference stem conv has padding 0 (ConvBNReLU default, no
+        # fixed_padding wrapper at features[0]) — border pixels are dropped
         x = ConvBNReLU6(32, k=3, stride=2, dtype=self.dtype, name="stem")(x, train)
         current_stride = 2
         dilation = 1

@@ -46,6 +46,11 @@ class XBlock(nn.Module):
     dilation: int = 1
     skip_kind: str = "conv"  # conv | sum | none
     start_with_relu: bool = True
+    # the reference appends the stride-2 conv (``xception.py:67``) and the
+    # ``is_last`` conv (``xception.py:72``) with DEFAULT dilation 1, so the
+    # block's final conv ignores the block dilation; only visible at
+    # output_stride 8 (block20: [2, 2, 1])
+    last_dilation: int | None = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -54,8 +59,12 @@ class XBlock(nn.Module):
         for i, f in enumerate(self.features):
             if i > 0 or self.start_with_relu:
                 out = nn.relu(out)
-            s = self.stride if i == len(self.features) - 1 else 1
-            out = SepConvBN(f, stride=s, dilation=self.dilation,
+            last = i == len(self.features) - 1
+            s = self.stride if last else 1
+            d = self.dilation
+            if last and self.last_dilation is not None:
+                d = self.last_dilation
+            out = SepConvBN(f, stride=s, dilation=d,
                             dtype=self.dtype, name=f"sep{i}")(out, train)
         if self.skip_kind == "conv":
             skip = nn.Conv(self.features[-1], (1, 1),
@@ -91,15 +100,21 @@ class AlignedXception(nn.Module):
 
         x = XBlock((128, 128, 128), stride=2, start_with_relu=False,
                    dtype=dt, name="block1")(x, train)
+        # reference applies relu AFTER block1 and stores THAT as low_level
+        # (xception.py:192-195 "add relu here"); block2 then starts without
+        # its leading relu (start_with_relu=False) — numerically idempotent
+        # on the already-relu'd input, mirrored here for clarity
+        x = nn.relu(x)
         out: Dict[str, jax.Array] = {"low_level": x}  # 128 ch @ 1/4
-        x = XBlock((256, 256, 256), stride=2, dtype=dt, name="block2")(x, train)
+        x = XBlock((256, 256, 256), stride=2, start_with_relu=False,
+                   dtype=dt, name="block2")(x, train)
         x = XBlock((728, 728, 728), stride=entry3_stride, dtype=dt,
                    name="block3")(x, train)
         for i in range(16):  # middle flow
             x = XBlock((728, 728, 728), dilation=mid_dil, skip_kind="sum",
                        dtype=dt, name=f"block{4 + i}")(x, train)
-        x = XBlock((728, 1024, 1024), dilation=exit_dil[0], dtype=dt,
-                   name="block20")(x, train)
+        x = XBlock((728, 1024, 1024), dilation=exit_dil[0], last_dilation=1,
+                   dtype=dt, name="block20")(x, train)
         x = nn.relu(SepConvBN(1536, dilation=exit_dil[1], dtype=dt,
                               name="conv3")(x, train))
         x = nn.relu(SepConvBN(1536, dilation=exit_dil[1], dtype=dt,

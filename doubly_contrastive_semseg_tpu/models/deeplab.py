@@ -153,6 +153,10 @@ class DeepLabDCSS(nn.Module):
             rsd, rates = (False, True, True), (12, 24, 36)
         else:
             rsd, rates = (False, False, True), (6, 12, 18)
+        if self.backbone.startswith("hrnetv2"):
+            # reference _segm_hrnet pins [12, 24, 36] independent of
+            # output_stride (modeling.py:20)
+            rates = (12, 24, 36)
 
         if self.normalize_input:
             # same constants the SwiftNet path bakes in
