@@ -68,18 +68,118 @@ class DeformSimpleBottleneck(nn.Module):
         return nn.relu(out + residual)
 
 
+class SimpleBottleneck(nn.Module):
+    """conv1×1 → conv3×3 → conv1×1 residual block without channel expansion
+    (reference ``network/deform.py:137-178``)."""
+
+    planes: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
+                      param_dtype=jnp.float32, name="conv1")(x)
+        out = batch_norm(self.dtype, name="bn1")(out, use_running_average=not train)
+        out = nn.relu(out)
+        out = conv_kxk(self.planes, 3, dtype=self.dtype, name="conv2")(out)
+        out = batch_norm(self.dtype, name="bn2")(out, use_running_average=not train)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
+                      param_dtype=jnp.float32, name="conv3")(out)
+        out = batch_norm(self.dtype, name="bn3")(out, use_running_average=not train)
+        return nn.relu(out + x)
+
+
+class AdaptiveAggregationModule(nn.Module):
+    """One AANet fusion: per-scale bottleneck stacks (ISA) + HRNet-style
+    cross-scale exchange (CSA) — reference ``aggregation.py:313-403``,
+    matched layer-for-layer so trained reference weights import exactly
+    (``tests/test_stereo_oracle.py``):
+
+    - ISA branch ``i``: ``num_blocks`` × (Deform)SimpleBottleneck;
+    - fuse ``i<j`` (coarse→fine): 1×1 conv + BN, bilinear-resized to the
+      target scale (``align_corners=False``);
+    - fuse ``i>j`` (fine→coarse): a chain of ``i−j`` stride-2 3×3 conv+BN,
+      LeakyReLU(0.2) between (not after the last);
+    - each fused output gets a LeakyReLU(0.2). Skipped entirely at
+      ``num_scales == 1`` (``aggregation.py:382-384``).
+    """
+
+    num_scales: int
+    num_output_branches: int
+    num_blocks: int = 1
+    simple_bottleneck: bool = False
+    deformable_groups: int = 2
+    mdconv_dilation: int = 2
+    deform_impl: str = "gather"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Sequence[jax.Array], train: bool) -> List[jax.Array]:
+        x = list(x)
+        assert len(x) == self.num_scales
+        for i in range(self.num_scales):
+            for b in range(self.num_blocks):
+                name = f"branch{i}_{b}"
+                if self.simple_bottleneck:
+                    x[i] = SimpleBottleneck(x[i].shape[-1], dtype=self.dtype,
+                                            name=name)(x[i], train)
+                else:
+                    x[i] = DeformSimpleBottleneck(
+                        x[i].shape[-1], mdconv_dilation=self.mdconv_dilation,
+                        deformable_groups=self.deformable_groups,
+                        deform_impl=self.deform_impl,
+                        dtype=self.dtype, name=name)(x[i], train)
+
+        if self.num_scales == 1:  # without fusions
+            return x
+
+        def fuse(i: int, j: int, v: jax.Array) -> jax.Array:
+            ci = x[i].shape[-1]
+            if i == j:
+                return v
+            if i < j:  # coarse → fine: 1×1 proj, resize at the call site
+                v = nn.Conv(ci, (1, 1), use_bias=False, dtype=self.dtype,
+                            param_dtype=jnp.float32,
+                            name=f"fuse{i}_{j}_conv0")(v)
+                return batch_norm(self.dtype, name=f"fuse{i}_{j}_bn0")(
+                    v, use_running_average=not train)
+            cj = x[j].shape[-1]
+            for k in range(i - j):  # fine → coarse: stride-2 conv chain
+                last = k == i - j - 1
+                v = conv_kxk(ci if last else cj, 3, stride=2,
+                             dtype=self.dtype, name=f"fuse{i}_{j}_conv{k}")(v)
+                v = batch_norm(self.dtype, name=f"fuse{i}_{j}_bn{k}")(
+                    v, use_running_average=not train)
+                if not last:
+                    v = nn.leaky_relu(v, 0.2)
+            return v
+
+        x_fused = []
+        for i in range(self.num_output_branches):
+            acc = fuse(i, 0, x[0])
+            for j in range(1, self.num_scales):
+                exchange = fuse(i, j, x[j])
+                if exchange.shape[1:3] != acc.shape[1:3]:
+                    exchange = resize_bilinear(exchange, acc.shape[1:3])
+                acc = acc + exchange
+            x_fused.append(nn.leaky_relu(acc, 0.2))
+        return x_fused
+
+
 class AdaptiveAggregation(nn.Module):
-    """AANet adaptive aggregation: per-scale stacks of deformable bottlenecks
-    (ISA) + cross-scale fusion (CSA) (reference ``aggregation.py:70-467``).
-    Operates on a pyramid of (B, H_i, W_i, D_i) cost volumes."""
+    """Stacked AAModules + per-scale final 1×1 convs (reference
+    ``aggregation.py:406-467``). Operates on a pyramid of (B, H_i, W_i, D_i)
+    cost volumes; the last ``num_deform_blocks`` fusions use deformable
+    bottlenecks, earlier ones simple bottlenecks."""
 
     num_scales: int = 3
     num_fusions: int = 6
     num_stage_blocks: int = 1
-    num_deform_blocks: int = 3
+    num_deform_blocks: int = 2
     mdconv_dilation: int = 2
     deformable_groups: int = 2
-    no_intermediate_supervision: bool = True
+    intermediate_supervision: bool = True
     deform_impl: str = "gather"
     dtype: Dtype = jnp.float32
 
@@ -87,42 +187,25 @@ class AdaptiveAggregation(nn.Module):
     def __call__(self, volumes: Sequence[jax.Array], train: bool) -> List[jax.Array]:
         vols = list(volumes)
         for f in range(self.num_fusions):
-            # intra-scale: deform blocks on the coarsest scales (AANet puts
-            # deformable aggregation at the low-res volumes)
-            new_vols = []
-            for s, v in enumerate(vols):
-                use_deform = f >= self.num_fusions - self.num_deform_blocks
-                for b in range(self.num_stage_blocks):
-                    name = f"isa_f{f}_s{s}_b{b}"
-                    if use_deform:
-                        v = DeformSimpleBottleneck(
-                            v.shape[-1], mdconv_dilation=self.mdconv_dilation,
-                            deformable_groups=self.deformable_groups,
-                            deform_impl=self.deform_impl,
-                            dtype=self.dtype, name=name)(v, train)
-                    else:
-                        r = conv_kxk(v.shape[-1], 3, dtype=self.dtype,
-                                     name=name + "_conv")(v)
-                        r = batch_norm(self.dtype, name=name + "_bn")(
-                            r, use_running_average=not train)
-                        v = nn.relu(v + r)
-                new_vols.append(v)
-            # cross-scale fusion: every scale receives every other scale,
-            # resampled and 1×1-projected (HRNet-style exchange)
-            fused = []
-            for si, vi in enumerate(new_vols):
-                acc = vi
-                for sj, vj in enumerate(new_vols):
-                    if sj == si:
-                        continue
-                    proj = nn.Conv(vi.shape[-1], (1, 1), use_bias=False,
-                                   dtype=self.dtype, param_dtype=jnp.float32,
-                                   name=f"csa_f{f}_{sj}to{si}")(vj)
-                    proj = resize_bilinear(proj, (vi.shape[-3], vi.shape[-2]))
-                    acc = acc + proj
-                fused.append(acc)
-            vols = fused
-        return vols
+            if self.intermediate_supervision:
+                num_out = self.num_scales
+            else:
+                num_out = 1 if f == self.num_fusions - 1 else self.num_scales
+            vols = AdaptiveAggregationModule(
+                num_scales=self.num_scales, num_output_branches=num_out,
+                num_blocks=self.num_stage_blocks,
+                simple_bottleneck=f < self.num_fusions - self.num_deform_blocks,
+                deformable_groups=self.deformable_groups,
+                mdconv_dilation=self.mdconv_dilation,
+                deform_impl=self.deform_impl, dtype=self.dtype,
+                name=f"fusion{f}")(vols, train)
+        out = []
+        n_final = self.num_scales if self.intermediate_supervision else 1
+        for i in range(n_final):
+            out.append(nn.Conv(vols[i].shape[-1], (1, 1), use_bias=True,
+                               dtype=self.dtype, param_dtype=jnp.float32,
+                               name=f"final_conv{i}")(vols[i]))
+        return out
 
 
 class StereoNetRefinement(nn.Module):

@@ -104,11 +104,15 @@ class TransConv3D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        # padding="SAME" ≙ torch ConvTranspose3d(k=3, s=2, p=1, output_pad=1):
-        # out = 2·in with matching alignment
+        # torch ConvTranspose3d(k=3, s=2, p=1, output_padding=1) keeps rows
+        # 1..2N of the full (2N+1)-wide fractionally-strided conv; VALID +
+        # [1:] slice per spatial dim is bit-equal (same rule as the ENet
+        # k=3 deconv, torch_convert._tconv_kernel) — SAME crops the other
+        # side and misaligns by one
         x = nn.ConvTranspose(self.features, (3, 3, 3), strides=(2, 2, 2),
-                             padding="SAME", use_bias=False, dtype=self.dtype,
+                             padding="VALID", use_bias=False, dtype=self.dtype,
                              param_dtype=jnp.float32, name="conv")(x)
+        x = x[:, 1:, 1:, 1:, :]
         if self.use_bn:
             x = batch_norm(self.dtype, name="bn")(x, use_running_average=not train)
         if self.act:
@@ -313,14 +317,34 @@ class _BasicConv(nn.Module):
         return nn.relu(x)
 
 
+class _ConvBNLRelu(nn.Module):
+    """3×3 conv → BN → LeakyReLU(0.2) — the ``conv2d`` helper every
+    refinement head uses for its input encoders (``refinement.py:12-17``)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        x = conv_kxk(self.features, 3, dtype=self.dtype, name="conv")(x)
+        x = batch_norm(self.dtype, name="bn")(x, use_running_average=not train)
+        return nn.leaky_relu(x, 0.2)
+
+
 class _Conv2x(nn.Module):
     """GANet ``Conv2x``: stride-2 conv (or ×2 deconv), concat with the skip,
     then a fusing conv — the U-net step used throughout the refinement heads
-    (reference ``refinement.py`` via ``network/feature.py``)."""
+    (reference ``refinement.py`` via ``network/feature.py:1009-1041``).
+
+    The reference's ``mdconv`` flag is accepted but NEVER used — ``conv2`` is
+    always a plain BasicConv (``feature.py:1020-1028``), so the "deformable"
+    b-pass of HourglassRefinement is in fact ordinary convs. Reproduced
+    verbatim (the flag is kept for call-site parity) so trained reference
+    weights import exactly (``tests/test_stereo_oracle.py``)."""
 
     features: int
     deconv: bool = False
-    mdconv: bool = False  # modulated deformable fuse conv
+    mdconv: bool = False  # accepted-and-ignored, like the reference
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -328,13 +352,7 @@ class _Conv2x(nn.Module):
         x = _BasicConv(self.features, stride=2, deconv=self.deconv,
                        dtype=self.dtype, name="conv1")(x, train)
         x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
-        if self.mdconv:
-            x = DeformConv2d(self.features, dtype=self.dtype, name="conv2")(x)
-            x = batch_norm(self.dtype, name="bn2")(x, use_running_average=not train)
-            x = nn.relu(x)
-        else:
-            x = _BasicConv(self.features, dtype=self.dtype, name="conv2")(x, train)
-        return x
+        return _BasicConv(self.features, dtype=self.dtype, name="conv2")(x, train)
 
 
 def _upsample_disp(disp: jax.Array, hw: Tuple[int, int]) -> jax.Array:
@@ -387,9 +405,9 @@ class HourglassRefinement(nn.Module):
         d = _upsample_disp(disp, hw)
         warped, _ = disp_warp(right.astype(jnp.float32), d[..., 0])
         error = warped - left.astype(jnp.float32)
-        c1 = conv_kxk(16, 3, dtype=dt, name="conv1")(
-            jnp.concatenate([error, left.astype(jnp.float32)], axis=-1))
-        c2 = conv_kxk(16, 3, dtype=dt, name="conv2")(d)
+        c1 = _ConvBNLRelu(16, dtype=dt, name="conv1")(
+            jnp.concatenate([error, left.astype(jnp.float32)], axis=-1), train)
+        c2 = _ConvBNLRelu(16, dtype=dt, name="conv2")(d, train)
         x = jnp.concatenate([c1, c2], axis=-1)
 
         x = DeformConv2d(32, dtype=dt, name="conv_start")(x)
@@ -447,6 +465,9 @@ class SemRefine(nn.Module):
     dtype: Dtype = jnp.float32
 
     def _se_gate(self, x: jax.Array, name: str) -> jax.Array:
+        # reference ``attention``: AdaptiveAvgPool2d(1) → 1×1 conv → sigmoid
+        # (refinement.py:809-814); a Dense over pooled features IS that 1×1
+        # conv (converter squeezes the spatial dims)
         g = jnp.mean(x, axis=(-3, -2))
         g = nn.Dense(x.shape[-1], dtype=self.dtype, name=name)(g)
         return x * jax.nn.sigmoid(g)[:, None, None, :]
@@ -476,9 +497,9 @@ class SemRefine(nn.Module):
             sem_in = self._se_gate(sem_in, "sem_att")
             disp_in = self._se_gate(disp_in, "disp_att")
 
-        e1 = conv_kxk(self.enc_ch, 3, dtype=dt, name="enc_img")(f)
-        e2 = conv_kxk(self.enc_ch, 3, dtype=dt, name="enc_disp")(disp_in)
-        e3 = conv_kxk(self.enc_ch, 3, dtype=dt, name="enc_sem")(sem_in)
+        e1 = _ConvBNLRelu(self.enc_ch, dtype=dt, name="enc_img")(f, train)
+        e2 = _ConvBNLRelu(self.enc_ch, dtype=dt, name="enc_disp")(disp_in, train)
+        e3 = _ConvBNLRelu(self.enc_ch, dtype=dt, name="enc_sem")(sem_in, train)
         if self.combine == "concat":
             x = jnp.concatenate([e1, e2, e3], axis=-1)
         else:
@@ -505,18 +526,25 @@ class SemRefine(nn.Module):
             x = _Conv2x(48, deconv=True, dtype=dt, name="deconv2b")(x, rem1, train)
             x = _Conv2x(32, deconv=True, dtype=dt, name="deconv1b")(x, rem0, train)
 
+        # plain ×2 transposed convs, NO bn/relu (the heads' deconv1/deconv2
+        # are bare ConvTranspose2d(32, 32, 4, 2, 1), refinement.py:336-345)
+        def _deconv(v, name):
+            return nn.ConvTranspose(32, (4, 4), strides=(2, 2), padding="SAME",
+                                    use_bias=False, dtype=dt,
+                                    param_dtype=jnp.float32, name=name)(v)
+
         # semantic head (full-res variants deconv twice first, New1 style)
         if self.sem_head_full_res:
-            s = _BasicConv(32, deconv=True, dtype=dt, name="deconv1_sem")(x, train)
-            s = _BasicConv(32, deconv=True, dtype=dt, name="deconv2_sem")(s, train)
+            s = _deconv(x, "deconv1_sem")
+            s = _deconv(s, "deconv2_sem")
         else:
             s = x
         sem = conv_kxk(self.sem_channels, 3, bias=True, dtype=dt,
                        name="final_sem")(s).astype(jnp.float32)
 
         # disparity head: ×2 deconv twice → Δ + upsampled low disp
-        xd = _BasicConv(32, deconv=True, dtype=dt, name="deconv1")(x, train)
-        xd = _BasicConv(32, deconv=True, dtype=dt, name="deconv2")(xd, train)
+        xd = _deconv(x, "deconv1")
+        xd = _deconv(xd, "deconv2")
         delta = conv_kxk(1, 3, bias=True, dtype=dt, name="final_disp")(xd)
         if self.raw_disp_head:
             return delta.astype(jnp.float32)[..., 0], sem

@@ -274,9 +274,9 @@ class MobileNetV2Feature(nn.Module):
     @nn.compact
     def __call__(self, img: jax.Array, *, train: bool = False) -> List[jax.Array]:
         dt = self.dtype
-        x0 = ConvBNReLU6(16, k=3, stride=1, dtype=dt, name="conv_in")(
+        x0 = ConvBNReLU6(16, k=3, stride=1, pad=1, dtype=dt, name="conv_in")(
             img.astype(dt), train)  # input-res skip (deconv0's partner)
-        x = ConvBNReLU6(32, k=3, stride=2, dtype=dt, name="stem")(x0, train)
+        x = ConvBNReLU6(32, k=3, stride=2, pad=1, dtype=dt, name="stem")(x0, train)
         feats = [x0]
         schedule = [  # (t, c, n, s); dilate past /16 like the deeplab trunk
             (1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2),

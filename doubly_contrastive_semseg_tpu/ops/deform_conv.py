@@ -262,11 +262,14 @@ class DeformConv2d(nn.Module):
 
         if self.modulation:
             off_ch = g * k * 2
-            # grouped offset conv emits [g, (offsets then masks)] per group
-            om = offset_mask.reshape(*offset_mask.shape[:-1], g, 3 * k)
-            offset = om[..., : 2 * k].reshape(*offset_mask.shape[:-1], g * k * 2)
-            mask = jax.nn.sigmoid(om[..., 2 * k:]).reshape(
-                *offset_mask.shape[:-1], g * k)
+            # the reference splits the GROUPED conv's output globally at
+            # 2/3 (deform.py:74-80): offset = first g·k·2 channels, mask =
+            # the rest — which for deformable_groups>1 crosses group intent
+            # (CUDA group 0's mask channels are produced by the conv's
+            # group 1). Reproduced verbatim so trained reference offset
+            # convs import exactly (tests/test_stereo_oracle.py).
+            offset = offset_mask[..., :off_ch]
+            mask = jax.nn.sigmoid(offset_mask[..., off_ch:])
             if self.double_mask:
                 mask = mask * 2.0  # initializes to 1 → regular conv (deform.py:85-88)
         else:
