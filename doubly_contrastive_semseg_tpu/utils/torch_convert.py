@@ -106,6 +106,12 @@ def convert_reference_weathernet(model_state: Dict) -> Tuple[Dict, Dict]:
     params: Dict = {}
     stats: Dict = {}
 
+    if "spp.spp.spp_bn.conv.weight" in fe_sd:
+        # single-scale SwiftNet trio (resnet18_single/rgbd/hourglass):
+        # SPP-based decoder instead of the pyramid's blend ladder
+        params, stats = convert_reference_swiftnet_single(fe_sd)
+        return _wrap_weathernet_head(model_state, params, stats)
+
     # the trunk shares torchvision naming inside feature_extractor
     trunk_p, trunk_s = convert_torchvision_resnet(fe_sd)
     params.update(trunk_p)
@@ -125,6 +131,14 @@ def convert_reference_weathernet(model_state: Dict) -> Tuple[Dict, Dict]:
                  _conv_kernel(fe_sd[f"{pre}.conv.weight"]))
             _bn_entries(fe_sd, f"{pre}.norm", params, stats,
                         (f"upsample_blends{i}", "blend_conv", "norm"))
+
+    return _wrap_weathernet_head(model_state, params, stats)
+
+
+def _wrap_weathernet_head(model_state: Dict, params: Dict, stats: Dict) -> Tuple[Dict, Dict]:
+    """Nest converted feature-extractor trees under ``feature_extractor`` and
+    attach WeatherNet's segmentation head if the checkpoint carries one."""
+    import numpy as np
 
     net_params = {"feature_extractor": params}
     net_stats = {"feature_extractor": stats}
@@ -614,6 +628,90 @@ def convert_reference_refinement(model_state: Dict) -> Tuple[Dict, Dict]:
         if f"{tk}.weight" in sd:
             _set(params, (fk, "kernel"), _conv_kernel(sd[f"{tk}.weight"]))
             _set(params, (fk, "bias"), np.asarray(sd[f"{tk}.bias"], np.float32))
+    return params, stats
+
+
+def _bnreluconv_entries(sd: Dict, tp: str, params: Dict, stats: Dict, path) -> None:
+    """Reference ``_BNReluConv`` (utils.py:35-49: modules 'norm', 'conv') →
+    ``models/blocks.py::BNReluConv`` ('norm', 'conv')."""
+    _set(params, path + ("conv", "kernel"), _conv_kernel(sd[f"{tp}.conv.weight"]))
+    _bn_entries(sd, f"{tp}.norm", params, stats, path + ("norm",))
+
+
+def convert_reference_swiftnet_single(fe_sd: Dict) -> Tuple[Dict, Dict]:
+    """Reference single-scale SwiftNet trio state dict (``ResNet_swift`` /
+    RGB-D ``ResNet`` / ``ResNet_hourglass``, ``resnet_18.py:206-809``) →
+    (params, batch_stats) for ``models/swiftnet_single.py``. Keys are relative
+    to the feature extractor. ``conv_final`` is skipped on purpose: the
+    reference constructs it but never calls it (``resnet_18.py:641``).
+    Oracle-checked in ``tests/test_backbone_oracles.py``."""
+    import numpy as np
+
+    sd = fe_sd
+    params: Dict = {}
+    stats: Dict = {}
+
+    # stem(s): conv1/bn1 (+ the depth branch's conv1_d/bn1_d)
+    for sfx, fp in (("", "stem"), ("_d", "stem_d")):
+        if f"conv1{sfx}.weight" in sd:
+            _set(params, (fp, "conv1", "kernel"), _conv_kernel(sd[f"conv1{sfx}.weight"]))
+            _bn_entries(sd, f"bn1{sfx}", params, stats, (fp, "bn1"))
+
+    # trunks: layer{1..4}[_d].{0,1} → trunk[_d].layer{s}_{b}
+    for sfx, trunk in (("", "trunk"), ("_d", "trunk_d")):
+        for s in range(1, 5):
+            for b in range(4):
+                tp = f"layer{s}{sfx}.{b}"
+                if f"{tp}.conv1.weight" not in sd:
+                    continue
+                fp = (trunk, f"layer{s}_{b}")
+                _set(params, fp + ("conv1", "kernel"), _conv_kernel(sd[f"{tp}.conv1.weight"]))
+                _set(params, fp + ("conv2", "kernel"), _conv_kernel(sd[f"{tp}.conv2.weight"]))
+                _bn_entries(sd, f"{tp}.bn1", params, stats, fp + ("bn1",))
+                _bn_entries(sd, f"{tp}.bn2", params, stats, fp + ("bn2",))
+                if f"{tp}.downsample.0.weight" in sd:
+                    _set(params, fp + ("downsample_conv", "kernel"),
+                         _conv_kernel(sd[f"{tp}.downsample.0.weight"]))
+                    _bn_entries(sd, f"{tp}.downsample.1", params, stats,
+                                fp + ("downsample_bn",))
+
+    # RGB-D channel-attention gates: Sequential(pool, conv1×1, sigmoid) —
+    # module index 1 is the conv (resnet_18.py:319-324)
+    for i in range(1, 5):
+        for sfx in ("", "_d"):
+            tk = f"attention_{i}{sfx}.1"
+            if f"{tk}.weight" in sd:
+                _set(params, (f"attention_{i}{sfx}", "kernel"),
+                     _conv_kernel(sd[f"{tk}.weight"]))
+                _set(params, (f"attention_{i}{sfx}", "bias"),
+                     np.asarray(sd[f"{tk}.bias"], np.float32))
+
+    # SPP: spp.spp.{spp_bn, spp0.., spp_fuse} (utils.py:120-131)
+    for name in ["spp_bn", "spp0", "spp1", "spp2", "spp3", "spp_fuse"]:
+        if f"spp.spp.{name}.conv.weight" in sd:
+            _bnreluconv_entries(sd, f"spp.spp.{name}", params, stats, ("spp", name))
+
+    # decoder: upsample.{i}.{bottleneck, blend_conv} (utils.py:52-77)
+    for i in range(4):
+        tp = f"upsample.{i}"
+        if f"{tp}.bottleneck.conv.weight" not in sd:
+            continue
+        _bnreluconv_entries(sd, f"{tp}.bottleneck", params, stats,
+                            (f"upsample{i}", "bottleneck"))
+        _bnreluconv_entries(sd, f"{tp}.blend_conv", params, stats,
+                            (f"upsample{i}", "blend_conv"))
+
+    # hourglass disparity extractor: conv4a + the Conv2x ladder
+    # (resnet_18.py:499-516); same module shapes as the GANet refinement
+    if "conv4a.conv.weight" in sd:
+        _basic_conv_entries(sd, "conv4a", params, stats, ("conv4a",))
+    for name in ["deconv4a", "deconv3a", "deconv2a", "deconv1a",
+                 "conv1b", "conv2b", "conv3b", "conv4b",
+                 "deconv4b", "deconv3b", "deconv2b", "deconv1b"]:
+        if f"{name}.conv1.conv.weight" in sd:
+            _basic_conv_entries(sd, f"{name}.conv1", params, stats, (name, "conv1"))
+            _basic_conv_entries(sd, f"{name}.conv2", params, stats, (name, "conv2"))
+
     return params, stats
 
 

@@ -160,3 +160,136 @@ def test_deeplab_mobilenet_forward_parity(tmp_path):
         pretrained_backbone=False)
     _warm_bn(model)
     _check_deeplab(model, "mobilenetv2", tmp_path, min_tensors=150)
+
+
+# ---------------------------------------------------------------------------
+# SwiftNet single-scale trio (resnet_18.py:206-809)
+# ---------------------------------------------------------------------------
+
+def _reference_resnet18():
+    _install_torchvision_stubs()
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    from network.backbone import resnet_18
+    return resnet_18
+
+
+def _import_swift(model, flax_model, init_args, min_tensors):
+    """state_dict → convert_reference_swiftnet_single → flax apply trees."""
+    from doubly_contrastive_semseg_tpu.utils.torch_convert import (
+        _merge, convert_reference_swiftnet_single, jax_to_py)
+
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    p_new, s_new = convert_reference_swiftnet_single(sd)
+    v = flax_model.init(jax.random.PRNGKey(0), *init_args, train=False)
+    params = jax_to_py(v["params"])
+    stats = jax_to_py(v["batch_stats"])
+    n = _merge(params, p_new) + _merge(stats, s_new)
+    assert n >= min_tensors, f"only {n} tensors imported"
+    return {"params": params, "batch_stats": stats}
+
+
+def _rel_err(got, want_nchw):
+    got = np.transpose(np.asarray(got), (0, 3, 1, 2))
+    want = want_nchw.numpy()
+    return np.abs(got - want).max() / max(np.abs(want).max(), 1.0)
+
+
+def test_swiftnet_single_forward_parity():
+    """ResNet_swift (resnet_18.py:653-795): post-relu skips (the in-place
+    relu aliases the block's "pre-relu" return), the class's own
+    mean/std buffers, SPP at 1/32 with bn_momentum 0.01/2, and the 3-step
+    _Upsample ladder."""
+    r18 = _reference_resnet18()
+    torch.manual_seed(11)
+    model = r18.ResNet_swift(r18.BasicBlock, [2, 2, 2, 2], efficient=False)
+    model.train()
+    with torch.no_grad():
+        for i in range(2):
+            g = torch.Generator().manual_seed(300 + i)
+            model(torch.rand((2, 3, 256, 256), generator=g) * 255.0)
+    model.eval()
+
+    g = torch.Generator().manual_seed(7)
+    x = torch.rand((1, 3, 256, 256), generator=g) * 255.0
+    with torch.no_grad():
+        want, _ = model(x.clone())  # forward_down normalizes in place
+
+    from doubly_contrastive_semseg_tpu.models.swiftnet_single import SingleScaleSwiftNet
+
+    m = SingleScaleSwiftNet(dtype=jnp.float32)
+    xj = jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))
+    variables = _import_swift(model, m, (xj,), min_tensors=120)
+    with jax.default_matmul_precision("highest"):
+        got, _ = m.apply(variables, xj, train=False)
+    assert got.shape == (1, 64, 64, 128)
+    rel = _rel_err(got, want)
+    assert rel < 2e-4, rel
+
+
+def test_swiftnet_rgbd_forward_parity():
+    """RGB-D ResNet (resnet_18.py:206-447, forward_down_fusion): both streams
+    attenuated each stage, decoder skips = pre-attention RGB stage outputs, SPP over the fused layer-4 sum, no input normalization."""
+    r18 = _reference_resnet18()
+    torch.manual_seed(12)
+    model = r18.ResNet(r18.BasicBlock, [2, 2, 2, 2], efficient=False)
+    model.train()
+    with torch.no_grad():
+        for i in range(2):
+            g = torch.Generator().manual_seed(310 + i)
+            rgb = torch.rand((2, 3, 256, 256), generator=g)
+            d = torch.rand((2, 256, 256), generator=g) * 80.0
+            model(rgb, d)
+    model.eval()
+
+    g = torch.Generator().manual_seed(8)
+    x = torch.rand((1, 3, 256, 256), generator=g)
+    d = torch.rand((1, 256, 256), generator=g) * 80.0
+    with torch.no_grad():
+        want, _ = model(x, d)
+
+    from doubly_contrastive_semseg_tpu.models.swiftnet_single import RGBDSwiftNet
+
+    m = RGBDSwiftNet(dtype=jnp.float32)
+    xj = jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))
+    dj = jnp.asarray(d.numpy())
+    variables = _import_swift(model, m, (xj, dj), min_tensors=240)
+    with jax.default_matmul_precision("highest"):
+        got, _ = m.apply(variables, xj, dj, train=False)
+    assert got.shape == (1, 64, 64, 128)
+    rel = _rel_err(got, want)
+    assert rel < 2e-4, rel
+
+
+def test_swiftnet_hourglass_forward_parity():
+    """ResNet_hourglass (resnet_18.py:449-651, forward_up_for_disp): the
+    semantic upsample ladder plus the conv4a→deconv1b two-pass disparity
+    hourglass over the (post-relu) stage outputs; conv_final exists but is never
+    called, so it's deliberately not imported."""
+    r18 = _reference_resnet18()
+    torch.manual_seed(13)
+    model = r18.ResNet_hourglass(r18.BasicBlock, [2, 2, 2, 2], efficient=False)
+    model.train()
+    with torch.no_grad():
+        for i in range(2):
+            g = torch.Generator().manual_seed(320 + i)
+            model(torch.rand((2, 3, 256, 256), generator=g))
+    model.eval()
+
+    g = torch.Generator().manual_seed(9)
+    x = torch.rand((1, 3, 256, 256), generator=g)
+    with torch.no_grad():
+        want_sem, want_disp, _ = model(x)
+
+    from doubly_contrastive_semseg_tpu.models.swiftnet_single import HourglassSwiftNet
+
+    m = HourglassSwiftNet(dtype=jnp.float32)
+    xj = jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))
+    variables = _import_swift(model, m, (xj,), min_tensors=280)  # the full tree
+    with jax.default_matmul_precision("highest"):
+        got_sem, extra = m.apply(variables, xj, train=False)
+    assert got_sem.shape == (1, 64, 64, 128)
+    rel = _rel_err(got_sem, want_sem)
+    assert rel < 2e-4, f"sem {rel}"
+    rel = _rel_err(extra["disp_feat"], want_disp)
+    assert rel < 2e-4, f"disp {rel}"
