@@ -57,7 +57,14 @@ class CheckpointManager:
         path = self._path(name)
         self._ckptr.save(path, payload, force=True)
         self._ckptr.wait_until_finished()
-        # meta sidecar (epoch/score/best bookkeeping — reference trainer.py:413-421)
+        # meta sidecar (epoch/score/best bookkeeping — reference trainer.py:413-421).
+        # orbax's save is a collective every process must enter, but the
+        # sidecars live on a shared filesystem: only process 0 writes them
+        # (concurrent identical writes could still interleave).
+        import jax
+
+        if jax.process_index() != 0:
+            return
         import json
 
         with open(path + ".meta.json", "w") as f:

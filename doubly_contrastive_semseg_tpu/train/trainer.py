@@ -215,6 +215,12 @@ class Trainer:
         batch = collate([dst[0]] * bs)
         for r, s in zip(rngs, states):
             r.set_state(s)
+        if self.cfg.use_supcon and "left" in batch and \
+                np.shape(batch["left"])[0] == bs:
+            # supcon criteria init through the two-view path (2B images per
+            # batch); a --test_only probe comes from the val set (single
+            # view) — duplicate rows so init sees training shapes
+            batch["left"] = np.concatenate([batch["left"], batch["left"]])
         return self._device_batch(batch)
 
     def _device_batch(self, batch: Dict) -> Dict:

@@ -253,11 +253,19 @@ def run(workdir: str, criterion: str, epochs: int, bs: int, seed: int,
         # --compute_dtype float32: the torch side is fp32 CPU; running ours
         # at the default bf16 would measure bf16 rounding amplified through
         # Adam (measured: supcon drifts to ~1.6e-2 by step 4 in bf16, ~8x
-        # the fp32 chaos floor), not semantic parity
+        # the fp32 chaos floor), not semantic parity.
+        # NOTE: --efficient must stay ON (the default): the reference
+        # hard-codes efficient=True and torch's reentrant checkpoint folds
+        # every batch's moments into the checkpointed BNs' running stats
+        # TWICE per step (resnet_pyramid.py:39-44); our remat path reproduces
+        # that (bn_update_passes=2). Running ours with --no_efficient
+        # single-updates — invisible in train losses (batch-stat mode) but it
+        # drifted eval BN stats to 14x the chaos floor and cost 0.78 pp of
+        # epoch-0 mIoU before this was traced.
         _run([sys.executable, os.path.join(REPO, "main.py")] + recipe +
              ["--pretrained", init_ckpt, "--checkname", f"abours_{tag}",
               "--reference_rng", "--no_shuffle", "--num_workers", "0",
-              "--loader", "thread", "--no_fuse_stem", "--no_efficient",
+              "--loader", "thread", "--no_fuse_stem",
               "--compute_dtype", "float32"],
              cwd=workdir,
              env={"PYTHONPATH": REPO, "JAX_PLATFORMS": "cpu",

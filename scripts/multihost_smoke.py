@@ -13,9 +13,11 @@ Mechanics: the parent spawns 2 children, each exposing 4 virtual CPU
 devices (8 global). Children call ``jax.distributed.initialize`` against a
 shared coordinator, build the global mesh, assemble global arrays from
 process-local shards (``jax.make_array_from_process_local_data``), run ONE
-step of the full doubly-contrastive criterion, and print the loss. The
-parent asserts both processes agree bit-for-bit and writes
-``MULTIHOST_r<N>.json`` when invoked with ``--artifact``.
+step of the full doubly-contrastive criterion, run one EVAL step (on-device
+confusion accumulation), round-trip the resulting state through a collective
+orbax save/restore, and print loss + cm hash + restore verdict. The parent
+asserts all processes agree bit-for-bit and writes ``MULTIHOST_r<N>.json``
+when invoked with ``--artifact``.
 
 Usage:
     python scripts/multihost_smoke.py              # run, print verdict
@@ -112,8 +114,45 @@ def _child(process_id: int, port: int) -> None:
         total = float(metrics["total_loss"])
         step_no = int(new_state.step)
 
-    print(f"MULTIHOST-RESULT pid={process_id} loss={total!r} step={step_no}",
-          flush=True)
+        # ---- eval pass: the validate path's on-device metric accumulation
+        # must also run under jax.distributed (VERDICT r3 item 6) ----
+        import hashlib
+
+        from doubly_contrastive_semseg_tpu.train.steps import (
+            init_eval_accum, make_eval_step)
+
+        edb = {
+            "left": to_global(global_batch["left"][:b], bs_shard),
+            "label": to_global(global_batch["label"], bs_shard),
+            "weather": to_global(global_batch["weather"], bs_shard),
+        }
+        accum = jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                repl, np.asarray(x), np.shape(x)), init_eval_accum(cfg))
+        eval_step = jax.jit(make_eval_step(model, cfg))
+        _, accum = eval_step(new_state.params, new_state.batch_stats, edb, accum)
+        cm = np.asarray(jax.device_get(accum["cm"]))
+        eval_cm = hashlib.sha256(cm.tobytes()).hexdigest()[:12]
+
+        # ---- orbax save/restore under jax.distributed: every process joins
+        # the collective save, then restores and must get the step-1 params
+        # back bit-exactly ----
+        from doubly_contrastive_semseg_tpu.train.checkpoints import CheckpointManager
+
+        io = CheckpointManager(os.environ["MULTIHOST_CKPT_DIR"])
+        io.save("multihost", new_state, epoch=0)
+        restored, _ = io.restore(os.path.join(io.directory, "multihost"),
+                                 state, continue_training=True)
+
+        def leaf(s):
+            return np.asarray(jax.device_get(
+                s.params["net"]["segmentation"]["conv"]["kernel"]))
+
+        ckpt_ok = (np.array_equal(leaf(restored), leaf(new_state))
+                   and int(restored.step) == step_no)
+
+    print(f"MULTIHOST-RESULT pid={process_id} loss={total!r} step={step_no} "
+          f"eval_cm={eval_cm} ckpt_ok={ckpt_ok}", flush=True)
 
 
 def main() -> int:
@@ -135,6 +174,9 @@ def main() -> int:
     env["PALLAS_AXON_POOL_IPS"] = ""
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
                         f" --xla_force_host_platform_device_count={DEVICES_PER_PROC}").strip()
+    import tempfile
+
+    env["MULTIHOST_CKPT_DIR"] = tempfile.mkdtemp(prefix="multihost_ckpt_")
 
     procs = [
         subprocess.Popen(
@@ -144,12 +186,14 @@ def main() -> int:
         for i in range(NUM_PROCS)
     ]
     outs = [p.communicate(timeout=1200)[0] for p in procs]
-    losses = {}
+    losses, eval_cms, ckpt_oks = {}, {}, {}
     for i, (p, out) in enumerate(zip(procs, outs)):
         for line in out.splitlines():
             if line.startswith("MULTIHOST-RESULT"):
                 parts = dict(kv.split("=", 1) for kv in line.split()[1:])
                 losses[i] = parts["loss"]
+                eval_cms[i] = parts.get("eval_cm", "")
+                ckpt_oks[i] = parts.get("ckpt_ok", "")
         if p.returncode != 0:
             sys.stderr.write(out[-4000:])
             print(f"FAIL: process {i} rc={p.returncode}")
@@ -158,14 +202,21 @@ def main() -> int:
         sys.stderr.write("\n".join(o[-2000:] for o in outs))
         print("FAIL: missing results")
         return 1
-    agree = len(set(losses.values())) == 1
+    agree = (len(set(losses.values())) == 1
+             and len(set(eval_cms.values())) == 1
+             and set(ckpt_oks.values()) == {"True"})
     result = {
         "ok": agree,
         "num_processes": NUM_PROCS,
         "devices_per_process": DEVICES_PER_PROC,
         "loss_per_process": losses,
-        "detail": "2-process jax.distributed CPU run of the sharded "
-                  "doubly-contrastive train step; losses must agree exactly",
+        "eval_cm_per_process": eval_cms,
+        "ckpt_ok_per_process": ckpt_oks,
+        "detail": "2-process jax.distributed CPU run: sharded doubly-"
+                  "contrastive train step (losses must agree exactly), eval "
+                  "step with on-device confusion accumulation (cm hashes must "
+                  "agree), and a collective orbax save/restore round-trip "
+                  "(bit-exact params + step on every process)",
     }
     print(json.dumps(result))
     if artifact:
