@@ -112,11 +112,15 @@ class PyramidEfficientNet(nn.Module):
 
     @nn.compact
     def __call__(self, image: jax.Array, *, train: bool = False):
-        from ..ops.input_pipeline import fused_pyramid_s2d, s2d_stem_geometry
+        from ..ops.input_pipeline import (fused_pyramid_s2d, level0_to_cmajor,
+                                          s2d_stem_geometry)
 
-        # fused pyramid-as-convs + s2d stem (same rationale as PyramidResNet)
+        # fused pyramid-as-convs + s2d stem (same rationale as PyramidResNet);
+        # the stem lives inside nn.Conv so level 0 is converted to c-major
+        # instead of permuting the kernel
         pyramid = fused_pyramid_s2d(image, self.pyramid_levels,
                                     self.mean, self.std, self.dtype)
+        pyramid[0] = level0_to_cmajor(pyramid[0], image)
         k_s2d, pad_s2d = s2d_stem_geometry(3)
         stem_conv = nn.Conv(32, (k_s2d, k_s2d), strides=(1, 1),
                             padding=[pad_s2d, pad_s2d], use_bias=False,

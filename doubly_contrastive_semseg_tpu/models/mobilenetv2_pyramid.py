@@ -74,7 +74,7 @@ class PyramidMobileNetV2(nn.Module):
     @nn.compact
     def __call__(self, image: jax.Array, *, train: bool = False):
         from ..ops.input_pipeline import (
-            fused_pyramid_s2d, s2d_stem_geometry)
+            fused_pyramid_s2d, s2d_stem_geometry, stem_kernel_for_level0)
 
         pyramid = fused_pyramid_s2d(image, self.pyramid_levels,
                                     self.mean, self.std, self.dtype)
@@ -86,6 +86,8 @@ class PyramidMobileNetV2(nn.Module):
             "conv1_kernel",
             nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
             (k_s2d, k_s2d, 12, 32), jnp.float32)
+        # level 0 is dy-major for NHWC/planar inputs (see fused_pyramid_s2d)
+        stem_kernel_l0 = stem_kernel_for_level0(stem_kernel, image)
         stem_bns = [batch_norm(self.dtype, name=f"bn1_{i}")
                     for i in range(self.pyramid_levels)]
 
@@ -114,8 +116,9 @@ class PyramidMobileNetV2(nn.Module):
         additional: Dict[str, Any] = {"pyramid": pyramid}
 
         for idx, p in enumerate(pyramid):
+            k_lvl = stem_kernel_l0 if idx == 0 else stem_kernel
             x = jax.lax.conv_general_dilated(
-                p, stem_kernel.astype(p.dtype), (1, 1), [pad_s2d, pad_s2d],
+                p, k_lvl.astype(p.dtype), (1, 1), [pad_s2d, pad_s2d],
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
             x = stem_bns[idx](x, use_running_average=not train)
             x = nn.relu(x)

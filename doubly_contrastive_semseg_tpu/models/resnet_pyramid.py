@@ -172,7 +172,9 @@ class PyramidResNet(nn.Module):
 
     @nn.compact
     def __call__(self, image: jax.Array, *, train: bool = False):
-        from ..ops.input_pipeline import fused_pyramid_s2d, s2d_stem_geometry
+        from ..ops.input_pipeline import (fused_pyramid_s2d,
+                                          s2d_stem_geometry,
+                                          stem_kernel_for_level0)
 
         # normalization + bicubic pyramid + s2d(2) collapse into one strided
         # conv per level (composed filters; see ops/input_pipeline.py) and
@@ -193,6 +195,10 @@ class PyramidResNet(nn.Module):
         # calling the same module instances on every level)
         k_s2d, pad_s2d = s2d_stem_geometry(7)
         stem_kernel = _StemKernel((k_s2d, k_s2d, 12, 64), name="conv1")()
+        # level 0 arrives dy-major for NHWC/planar inputs (c-major for
+        # host-packed s2d); levels >= 1 are level-kernel OUTPUTS, always
+        # c-major — so only the level-0 stem absorbs the permutation
+        stem_kernel_l0 = stem_kernel_for_level0(stem_kernel, image)
         stem_bns = [_StemBN(dtype=self.dtype, name=f"bn1_{i}")
                     for i in range(self.pyramid_levels)]
         stage_planes = (64, 128, 256, 512)
@@ -235,16 +241,17 @@ class PyramidResNet(nn.Module):
                          and stem_pallas.supports(p)
                          and (jax.default_backend() not in ("cpu",)
                               or os.environ.get("DCSS_STEM_INTERPRET")))
+            k_lvl = stem_kernel_l0 if idx == 0 else stem_kernel
             if use_fused:
                 bn_scale, bn_bias, bn_mean, bn_var = stem_bns[idx]()
                 inv = jax.lax.rsqrt(bn_var + 1e-5)
                 x = stem_pallas.fused_stem_pool(
-                    p, stem_kernel, bn_scale * inv,
+                    p, k_lvl, bn_scale * inv,
                     bn_bias - bn_mean * bn_scale * inv,
                     interpret=bool(os.environ.get("DCSS_STEM_INTERPRET")))
             else:
                 x = jax.lax.conv_general_dilated(
-                    p, stem_kernel.astype(p.dtype), (1, 1), [pad_s2d, pad_s2d],
+                    p, k_lvl.astype(p.dtype), (1, 1), [pad_s2d, pad_s2d],
                     dimension_numbers=("NHWC", "HWIO", "NHWC"))
                 x = stem_bns[idx](x, train=train)
                 x = nn.relu(x)

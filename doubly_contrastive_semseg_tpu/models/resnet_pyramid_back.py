@@ -72,13 +72,17 @@ class PyramidResNetBack(nn.Module):
 
     @nn.compact
     def __call__(self, image: jax.Array, *, train: bool = False):
-        from ..ops.input_pipeline import fused_pyramid_s2d, s2d_stem_geometry
+        from ..ops.input_pipeline import (fused_pyramid_s2d,
+                                          s2d_stem_geometry,
+                                          stem_kernel_for_level0)
 
         pyramid = fused_pyramid_s2d(image, self.pyramid_levels,
                                     self.mean, self.std, self.dtype)
 
         k_s2d, pad_s2d = s2d_stem_geometry(7)
         stem_kernel = _StemKernel((k_s2d, k_s2d, 12, 64), name="conv1")()
+        # level 0 is dy-major for NHWC/planar inputs (see fused_pyramid_s2d)
+        stem_kernel_l0 = stem_kernel_for_level0(stem_kernel, image)
         stem_bns = [_StemBN(dtype=self.dtype, name=f"bn1_{i}")
                     for i in range(self.pyramid_levels)]
 
@@ -104,8 +108,9 @@ class PyramidResNetBack(nn.Module):
         additional: Dict[str, Any] = {"pyramid": pyramid}
 
         for idx, p in enumerate(pyramid):
+            k_lvl = stem_kernel_l0 if idx == 0 else stem_kernel
             x = jax.lax.conv_general_dilated(
-                p, stem_kernel.astype(p.dtype), (1, 1), [pad_s2d, pad_s2d],
+                p, k_lvl.astype(p.dtype), (1, 1), [pad_s2d, pad_s2d],
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
             x = stem_bns[idx](x, train=train)
             x = nn.relu(x)

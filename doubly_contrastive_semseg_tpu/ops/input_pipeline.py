@@ -118,6 +118,62 @@ def space_to_depth2_nhwc(xp: jax.Array) -> jax.Array:
     return xr.reshape(b, h // 2, w // 2, c * 4)
 
 
+# ---- level-0 channel order -------------------------------------------------
+# Host-packed s2d input keeps the historical c-major order (c*4 + dy*2 + dx,
+# matching ``s2d_pack``). Device-side NHWC/planar inputs produce level 0 in
+# DY-MAJOR order (dy*2c + dx*c + ci): the even/odd H-row views of an NHWC
+# image ARE its dy-major s2d halves after a free row-major (W, C) → (W/2, 2C)
+# minor-dim merge, so the relayout is two strided row copies + one lane
+# concat — measured 2.36 ms vs 7.11 ms for the 6-D transpose form at
+# (8, 1024, 2048, 3) bf16, exactly the elementwise copy floor at that shape
+# (2.35 ms; ``scripts/bench_s2d_relayout.py``). Consumers absorb the order as
+# a free static permutation of their conv kernels' input-channel axis
+# (``stem_kernel_for_level0``); levels ≥ 1 are conv OUTPUTS and stay c-major.
+
+
+def s2d_dymajor_to_cmajor_perm(c: int = 3) -> np.ndarray:
+    """P with ``s0_dymajor[..., k] == s0_cmajor[..., P[k]]``:
+    P[dy*2c + dx*c + ci] = ci*4 + dy*2 + dx."""
+    return np.array([ci * 4 + dy * 2 + dx
+                     for dy in range(2) for dx in range(2) for ci in range(c)])
+
+
+def stem_kernel_for_level0(kernel: jax.Array, image) -> jax.Array:
+    """Permute an s2d stem kernel's input-channel axis to match the level-0
+    channel order :func:`fused_pyramid_s2d` produces for this input layout
+    (identity for host-packed s2d batches; dy-major gather otherwise). The
+    gather is a trace-time-static reindex of a tiny weight tensor — XLA folds
+    it into the conv's weight prep, and its VJP scatters gradients back to
+    the stored c-major parameter, so checkpoints/torch-convert never see it."""
+    if is_s2d_image(image):
+        return kernel
+    c = kernel.shape[2] // 4
+    return jnp.take(kernel, jnp.asarray(s2d_dymajor_to_cmajor_perm(c)), axis=2)
+
+
+def level0_to_cmajor(p0: jax.Array, image) -> jax.Array:
+    """Convert :func:`fused_pyramid_s2d`'s level-0 output to c-major channel
+    order regardless of input layout — for consumers that cannot absorb the
+    dy-major order into their own weights (e.g. a stem held inside
+    ``nn.Conv``). Costs one fused 12-channel lane gather (~0.5 ms at batch-8
+    2048×1024); the flagship path uses ``stem_kernel_for_level0`` instead."""
+    if is_s2d_image(image):
+        return p0
+    c = p0.shape[-1] // 4
+    inv = np.argsort(s2d_dymajor_to_cmajor_perm(c))
+    return jnp.take(p0, jnp.asarray(inv), axis=-1)
+
+
+def _perm_in_channels_dymajor(k: np.ndarray, c: int) -> np.ndarray:
+    """Re-map a (Kh, Kw, n·4c, O) level kernel built for c-major s2d input to
+    read dy-major input (each W-fold phase's 4c block permuted identically)."""
+    P = s2d_dymajor_to_cmajor_perm(c)
+    cc = 4 * c
+    n = k.shape[2] // cc
+    idx = (np.arange(n)[:, None] * cc + P[None, :]).ravel()
+    return k[:, :, idx, :]
+
+
 def s2d_unpack(x: jax.Array) -> jax.Array:
     """Inverse of :func:`s2d_pack` on device: (B, H/2, W/2, 4C) → (B, H, W, C).
     Used when a host-packed s2d batch reaches a module that needs the plain
@@ -291,20 +347,27 @@ def _fold_level_kernel(level: int, c: int, fold: int) -> np.ndarray:
     return kf
 
 
-def _cell_phase_perm(c: int, dy: int = None, dx: int = None) -> np.ndarray:
+def _cell_phase_perm(c: int, dy: int = None, dx: int = None,
+                     dymajor: bool = False) -> np.ndarray:
     """Channel permutation pinning an s2d cell's in-cell row (dy) and/or
     column (dx) phase — used to build border cells with torch's per-PIXEL
-    clamp semantics (replicating whole 2-pixel cells would shift the edge)."""
+    clamp semantics (replicating whole 2-pixel cells would shift the edge).
+    ``dymajor`` selects the channel convention of the tensor being padded."""
     cc = 4 * c
     perm = np.arange(cc)
     for idx in range(cc):
-        ci, rem = divmod(idx, 4)
-        py, px = rem >> 1, rem & 1
+        if dymajor:
+            py, rem = divmod(idx, 2 * c)
+            px, ci = divmod(rem, c)
+        else:
+            ci, rem = divmod(idx, 4)
+            py, px = rem >> 1, rem & 1
         if dy is not None:
             py = dy
         if dx is not None:
             px = dx
-        perm[idx] = ci * 4 + py * 2 + px
+        perm[idx] = (py * 2 * c + px * c + ci) if dymajor \
+            else (ci * 4 + py * 2 + px)
     return perm
 
 
@@ -342,7 +405,8 @@ def _merged_level12_kernel(c: int = 3, fold: int = _CHAIN_FOLD) -> np.ndarray:
     return K
 
 
-def _clamp_pad(x: jax.Array, c: int, w_left: int, w_right: int) -> jax.Array:
+def _clamp_pad(x: jax.Array, c: int, w_left: int, w_right: int,
+               dymajor: bool = False) -> jax.Array:
     """Pad cells (1, 2) in H and (w_left, w_right) in W with torch's
     per-PIXEL clamp semantics: the top pad cell must read row 0 (phase
     dy=0), the bottom ones row H−1, and only the innermost W pad cell on
@@ -353,10 +417,10 @@ def _clamp_pad(x: jax.Array, c: int, w_left: int, w_right: int) -> jax.Array:
     Two full-tensor concatenates; measured faster than the
     pad-then-dynamic-update-slice alternative (XLA lowers the strip updates
     as whole-buffer copies: 4.2 ms vs 2.9 ms at batch-8 2048×1024)."""
-    py0 = jnp.asarray(_cell_phase_perm(c, dy=0))
-    py1 = jnp.asarray(_cell_phase_perm(c, dy=1))
-    px0 = jnp.asarray(_cell_phase_perm(c, dx=0))
-    px1 = jnp.asarray(_cell_phase_perm(c, dx=1))
+    py0 = jnp.asarray(_cell_phase_perm(c, dy=0, dymajor=dymajor))
+    py1 = jnp.asarray(_cell_phase_perm(c, dy=1, dymajor=dymajor))
+    px0 = jnp.asarray(_cell_phase_perm(c, dx=0, dymajor=dymajor))
+    px1 = jnp.asarray(_cell_phase_perm(c, dx=1, dymajor=dymajor))
     top = jnp.take(x[:, :1], py0, axis=-1)
     bot = jnp.take(x[:, -1:], py1, axis=-1)
     xh = jnp.concatenate([top, x, bot, bot], axis=1)
@@ -370,17 +434,23 @@ def fused_pyramid_s2d(image: jax.Array, levels: int,
     """Normalize + bicubic pyramid + s2d(2) for every level, with the minimum
     of small-channel work:
 
-    - level 0: host-packed s2d input (``s2d_pack``) is just normalized;
-      NHWC/planar inputs pay one reshape-transpose s2d (~6.5 ms at batch-8
-      2048×1024 — feed s2d-packed batches on the hot serving path);
+    - level 0: host-packed s2d input (``s2d_pack``) is just normalized
+      (c-major channel order); NHWC/planar inputs build level 0 in DY-MAJOR
+      order from the even/odd H-row views — a pure bandwidth copy (2.36 ms
+      at batch-8 2048×1024 bf16, the elementwise floor; the old 6-D
+      transpose form cost 7.11 ms) — and every level kernel below reads it
+      through a static input-channel permutation. Callers permute their
+      level-0 stem kernel with ``stem_kernel_for_level0``.
     - levels >= 1: ONE W-folded conv each, directly from level 0
       (``_fold_level_kernel``) — matching the reference's
       direct-from-full-res ``F.interpolate(scale_factor=2^-L)`` semantics
       bit-for-bit, including torch's per-pixel border clamp
-      (``_clamp_pad``); level 2+ needs no padding at all.
+      (``_clamp_pad``); level 2+ needs no padding at all. Their OUTPUT
+      channel order is c-major for every input layout.
 
     Returns [(B, H/2^{L+1}, W/2^{L+1}, 12)] for L in [0, levels).
     """
+    dymajor = False
     if is_s2d_image(image):
         # host-packed s2d input: normalize with the per-original-channel
         # constants replicated over the 4 in-cell phases (channel c*4+phase)
@@ -392,12 +462,16 @@ def fused_pyramid_s2d(image: jax.Array, levels: int,
         if is_planar_image(image):
             image = image.transpose(0, 2, 3, 1)
         b, h, w, c = image.shape
-        mean_a = jnp.asarray(mean, jnp.float32)
-        std_a = jnp.asarray(std, jnp.float32)
-
-        xn = ((image - mean_a) / std_a).astype(dtype)
-        s0 = xn.reshape(b, h // 2, 2, w // 2, 2, c) \
-               .transpose(0, 1, 3, 5, 2, 4).reshape(b, h // 2, w // 2, 4 * c)
+        # dy-major s2d: channel = dy*2c + dx*c + ci. The (W, C) -> (W/2, 2C)
+        # reshape merges minor dims (row-major-free); normalize fuses into
+        # the concat's writes (constants tiled to the dy-major order).
+        even = image[:, 0::2].reshape(b, h // 2, w // 2, 2 * c)
+        odd = image[:, 1::2].reshape(b, h // 2, w // 2, 2 * c)
+        s0raw = jnp.concatenate([even, odd], axis=-1)
+        mean12 = jnp.tile(jnp.asarray(mean, jnp.float32), 4)
+        std12 = jnp.tile(jnp.asarray(std, jnp.float32), 4)
+        s0 = ((s0raw - mean12) / std12).astype(dtype)
+        dymajor = True
 
     cc = 4 * c
     fold = _CHAIN_FOLD
@@ -407,8 +481,11 @@ def fused_pyramid_s2d(image: jax.Array, levels: int,
 
     if levels == 3 and Wf and h2 % 4 == 0 and (w2 // 2) % 4 == 0:
         # one merged pass for levels 1+2 (see _merged_level12_kernel)
-        K = jnp.asarray(_merged_level12_kernel(c, fold), dtype)
-        P = _clamp_pad(s0, c, fold, fold)
+        Km = _merged_level12_kernel(c, fold)
+        if dymajor:
+            Km = _perm_in_channels_dymajor(Km, c)
+        K = jnp.asarray(Km, dtype)
+        P = _clamp_pad(s0, c, fold, fold, dymajor=dymajor)
         Pf = P.reshape(b, h2 + 3, Wf + 2, fold * cc)
         y = jax.lax.conv_general_dilated(
             Pf, K, (4, 1), "VALID",
@@ -426,9 +503,12 @@ def fused_pyramid_s2d(image: jax.Array, levels: int,
         foldable = lv <= 2 and w2 % fold == 0 and (w2 // s) % (fold // s) == 0
         if foldable:
             g = fold // s
-            kf = jnp.asarray(_fold_level_kernel(lv, c, fold), dtype)
+            kf_np = _fold_level_kernel(lv, c, fold)
+            if dymajor:
+                kf_np = _perm_in_channels_dymajor(kf_np, c)
+            kf = jnp.asarray(kf_np, dtype)
             if lv == 1:
-                x = _clamp_pad(s0, c, fold, fold)
+                x = _clamp_pad(s0, c, fold, fold, dymajor=dymajor)
                 xf = x.reshape(b, h2 + 3, (w2 + 2 * fold) // fold, fold * cc)
                 y = jax.lax.conv_general_dilated(
                     xf, kf, (2, 1), "VALID",
@@ -443,10 +523,13 @@ def fused_pyramid_s2d(image: jax.Array, levels: int,
                     preferred_element_type=jnp.float32)
             cur = y.reshape(b, h2 // s, w2 // s, cc).astype(dtype)
         else:  # plain strided form (tiny widths / levels > 2)
-            kd = jnp.asarray(_direct_level_kernel(lv, c), dtype)
+            kd_np = _direct_level_kernel(lv, c)
+            if dymajor:
+                kd_np = _perm_in_channels_dymajor(kd_np, c)
+            kd = jnp.asarray(kd_np, dtype)
             x = s0
             if lv == 1:
-                x = _clamp_pad(s0, c, 1, 2)
+                x = _clamp_pad(s0, c, 1, 2, dymajor=dymajor)
             cur = jax.lax.conv_general_dilated(
                 x, kd, (s, s), "VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),

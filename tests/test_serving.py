@@ -23,6 +23,23 @@ def test_serving_fn_matches_model_argmax(rng):
     assert (got == want).mean() > 0.999  # dtype-order ties only
 
 
+def test_dcss_s2d_input_matches_nhwc(rng):
+    """DCSSModel on host-packed s2d batches (c-major level 0) vs plain NHWC
+    (dy-major level 0 + stem-kernel permutation): the seg logits must agree
+    to reduction-order rounding — guards the dy-major relayout's weight-perm
+    plumbing across the whole backbone."""
+    from doubly_contrastive_semseg_tpu.ops.input_pipeline import s2d_pack
+
+    model = DCSSModel(backbone="resnet18", num_classes=19, weather_num=4,
+                      dtype=jnp.float32)
+    x = rng.uniform(0, 255, (1, 64, 128, 3)).astype(np.float32)
+    v = model.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    a = model.apply(v, jnp.asarray(x), train=False)["seg"]
+    b = model.apply(v, jnp.asarray(s2d_pack(x)), train=False)["seg"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_stereo_serving_fn_matches_model(rng):
     """make_stereo_serving_fn returns (disp, labels) equal to the plain
     StereoDCSS forward's disp / argmax(seg) (CPU planar path)."""
