@@ -43,14 +43,22 @@ TILE_H = 8  # input rows per program (→ 32 output rows: one int8 sublane tile)
 
 
 def _phases4(prev: jax.Array, cur: jax.Array, nxt: jax.Array):
-    """The 4 half-pixel phases of a ×4 bilinear upsample along an axis."""
+    """The 4 half-pixel phases of a ×4 bilinear upsample along an axis.
+
+    Delta form: phase(off<0) = cur + (−off)·(prev − cur), phase(off>0) =
+    cur + off·(nxt − cur) — two shared subtractions plus one FMA per phase
+    instead of two multiplies + add, and identical in exact arithmetic.
+    (f32 rounding differs from the a·p+b·c form by ≤1 ulp; the argmax
+    consumer is insensitive except at exact logit ties.)"""
+    dp = prev - cur
+    dn = nxt - cur
     out = []
     for r in range(4):
         off = (r + 0.5) / 4 - 0.5
         if off < 0:
-            out.append((-off) * prev + (1.0 + off) * cur)
+            out.append(cur + (-off) * dp)
         else:
-            out.append((1.0 - off) * cur + off * nxt)
+            out.append(cur + off * dn)
     return out
 
 
@@ -198,7 +206,11 @@ def fused_seghead_upsample_argmax(
     if cin_p != cin:
         featp = jnp.pad(featp, ((0, 0), (0, 0), (0, 0), (0, cin_p - cin)))
 
-    w_pad = ((w + 2 + 127) // 128) * 128
+    # lane-padded scratch width: a 128 multiple ≥ w. (The W halo is built by
+    # value-level shifts inside the kernel, so no +2 halo columns are needed —
+    # an earlier design kept them, costing 25% extra matmul/blend work at the
+    # headline shape where w=512 rounded up to 640.)
+    w_pad = ((w + 127) // 128) * 128
     grid = (b * n_tiles,)  # flat: the double-buffer slot cycles across batch
     kernel = functools.partial(_kernel, tile_h=TILE_H, h=h, w=w, w_pad=w_pad,
                                c_pad=c_pad, n_batch=b)
