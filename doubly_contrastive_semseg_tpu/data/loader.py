@@ -4,7 +4,9 @@ Replaces the reference's ``torch.utils.data.DataLoader(num_workers=4,
 collate_fn=custom_collate)`` (``utils/init_trainer.py:86-93``). PIL/cv2
 release the GIL for the heavy decode/EDT work, so a thread pool gives worker
 parallelism without fork overhead; a bounded prefetch queue keeps the host
-pipeline ahead of the device step.
+pipeline ahead of the device step. Sample production is pipelined ACROSS
+batches (a sliding window of per-sample futures), so throughput scales with
+``num_workers`` rather than being capped at ``batch_size / t_sample``.
 
 Collation handles the two-crop contrastive batches the way the trainer does
 (``trainer.py:66-72``): the two views' images are concatenated on the batch
@@ -13,8 +15,10 @@ axis into one ``(2B, H, W, 3)`` array; labels/weights/weather come from view 0.
 
 from __future__ import annotations
 
+import math
 import queue
 import threading
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional
 
@@ -101,15 +105,46 @@ class DataLoader:
             return False
 
         def produce():
+            # Cross-batch pipelining: per-sample futures over a sliding window
+            # of upcoming batches, so the pool is never idle at a batch
+            # boundary. The old per-batch ``pool.map`` capped concurrency at
+            # batch_size AND serialized batch production (batch k+1 could not
+            # start until every sample of batch k finished) — with expensive
+            # TwoCrop+EDT samples that ceiling was ~batch_size/t_sample
+            # regardless of worker count. The window keeps ≥2×num_workers
+            # samples in flight; with one worker, submission order ==
+            # execution order, preserving --reference_rng determinism.
+            pending: deque = deque()  # [futures] per in-flight batch
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    for b in batches:
+                    window = max(self.prefetch + 1,
+                                 math.ceil(2 * self.num_workers / max(1, self.batch_size)))
+                    batch_iter = iter(batches)
+
+                    def submit_next() -> None:
+                        b = next(batch_iter, None)
+                        if b is not None:
+                            pending.append(
+                                [pool.submit(self.dataset.__getitem__, i) for i in b])
+
+                    for _ in range(window):
+                        submit_next()
+                    while pending:
+                        futs = pending.popleft()
+                        samples = [f.result() for f in futs]
                         if stop.is_set():
-                            return
-                        samples = list(pool.map(self.dataset.__getitem__, b))
-                        if not _put(collate(samples)):
-                            return
+                            break
+                        batch = collate(samples)
+                        submit_next()  # refill before blocking on the queue
+                        if not _put(batch):
+                            break
+                    for futs in pending:  # abandoned: drop unstarted work
+                        for f in futs:
+                            f.cancel()
             except BaseException as e:  # surfaced on the consumer side
+                for futs in pending:
+                    for f in futs:
+                        f.cancel()
                 err.append(e)
             finally:
                 _put(sentinel)

@@ -586,3 +586,35 @@ def test_thread_safe_rng_concurrent_draws_stay_sane():
     assert len(set(vals)) == 1600  # unique ⇒ no torn/duplicated draws
     # non-callable attribute passthrough
     assert hasattr(rng, "bit_generator")
+
+
+def test_dataloader_pipelines_across_batches():
+    """Throughput regression for the cross-batch rewrite: with num_workers >
+    batch_size, sample production must overlap ACROSS batch boundaries. The
+    old per-batch pool.map capped wall time at n_batches × t_sample (only
+    batch_size samples in flight); the windowed producer keeps ~2×workers in
+    flight, so 24 sleep-bound samples on 8 workers finish in ~3 waves."""
+    import time
+
+    from doubly_contrastive_semseg_tpu.data.loader import DataLoader
+
+    t_sample = 0.10
+
+    class _Slow:
+        def __len__(self):
+            return 24
+
+        def __getitem__(self, i):
+            time.sleep(t_sample)  # sleeps release the GIL like PIL/cv2 do
+            return {"left": np.zeros((2, 2, 3), np.float32),
+                    "label": np.zeros((2, 2), np.int64)}
+
+    dl = DataLoader(_Slow(), batch_size=4, num_workers=8, prefetch=2)
+    t0 = time.perf_counter()
+    n = sum(1 for _ in dl)
+    wall = time.perf_counter() - t0
+    assert n == 6
+    # old loader: 6 batches × 0.1 s serialized = 0.6 s minimum; pipelined:
+    # ceil(24/8)=3 waves ≈ 0.3 s. Assert clearly below the serialized floor
+    # (generous margin for a loaded CI host).
+    assert wall < 0.55, f"no cross-batch overlap: {wall:.2f}s for 6 batches"
