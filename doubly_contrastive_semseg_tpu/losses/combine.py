@@ -81,6 +81,9 @@ def compute_total_loss(
         return pixel_contrast_loss(
             outputs["fine_feat0"], batch["label"], outputs["seg_beforeup"], rng,
             num_classes=cfg.num_classes,
+            # --reference_rng A/B mode: first-raster-index anchor selection,
+            # mirroring the driver's identity-pinned torch.randperm
+            deterministic_select=getattr(cfg, "reference_rng", False),
         )
 
     if crit == "supcon_focal":

@@ -44,6 +44,7 @@ def _hard_anchor_sampling(
     num_classes: int,
     rng: jax.Array,
     max_views: int = 2,
+    deterministic_select: bool = False,
 ):
     """Returns (anchor_feats (B*C, 2, D), anchor_labels (B*C,), valid (B*C,))."""
     b, p, d = feats.shape
@@ -56,7 +57,16 @@ def _hard_anchor_sampling(
     count = jnp.sum(onehot, axis=-1)                             # (B, C)
     valid = count > max_views                                    # loss.py:282
 
-    r = jax.random.uniform(rng, (b, num_classes, p))
+    if deterministic_select:
+        # A/B parity mode (--reference_rng): prefer the SMALLEST raster
+        # index in each mask — exactly what the reference program picks when
+        # its torch.randperm is pinned to the identity permutation by the
+        # A/B driver (hard/easy nonzero() lists are raster-ordered,
+        # loss.py:308-331). Top-2 of descending-index keys == first two
+        # indices of each mask.
+        r = -jax.lax.broadcasted_iota(jnp.float32, (b, num_classes, p), 2)
+    else:
+        r = jax.random.uniform(rng, (b, num_classes, p))
     hard_keys = jnp.where(hard, r, NEG_INF)
     easy_keys = jnp.where(easy, r, NEG_INF)
     _, hard_idx = jax.lax.top_k(hard_keys, 2)                    # (B, C, 2)
@@ -168,6 +178,7 @@ def pixel_contrast_loss(
     temperature: float = 0.07,
     base_temperature: float = 0.07,
     max_views: int = 2,
+    deterministic_select: bool = False,
 ) -> jax.Array:
     """Reference ``PixelContrastLoss.forward`` (``loss.py:391-415``): labels
     are nearest-downsampled to feature resolution, predictions argmaxed, hard
@@ -185,6 +196,7 @@ def pixel_contrast_loss(
     anchor_feats, anchor_labels, valid = _hard_anchor_sampling(
         feats_flat, labels_ds.reshape(b, -1), preds.reshape(b, -1),
         num_classes, rng, max_views=max_views,
+        deterministic_select=deterministic_select,
     )
     return _masked_contrastive(anchor_feats, anchor_labels, valid,
                                temperature, base_temperature)

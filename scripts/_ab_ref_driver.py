@@ -200,9 +200,35 @@ def pin_shared_heads(ckpt_path: str) -> None:
         ref_clf.WeatherClassifier.__init__ = wc_init
 
 
+def pin_randperm_identity():
+    """AB_PIN_RANDPERM=1: pin ``torch.randperm`` to the identity permutation.
+    The reference's PixelContrastLoss draws hard/easy anchors with
+    ``torch.randperm`` (``utils/loss.py:327-329``) — a backend-private RNG no
+    JAX program can replay. Identity pinning keeps the reference's own
+    selection RULES (hard/easy split, count thresholds, raster-ordered
+    nonzero lists) and makes the pick the FIRST indices of each list, which
+    our ``--reference_rng`` pixel-contrast sampler reproduces exactly
+    (losses/pixel_contrast.py deterministic_select). Shuffling is already
+    disabled, so no other reference code path consumes randperm."""
+    import torch
+
+    real_arange = torch.arange
+
+    def identity_perm(n, *a, **k):
+        k.pop("generator", None)
+        return real_arange(n, **{kk: vv for kk, vv in k.items()
+                                 if kk in ("dtype", "device")})
+
+    torch.randperm = identity_perm
+
+
 def train(argv) -> None:
+    import os
+
     install_stubs()
     pin_dataloader_determinism()
+    if os.environ.get("AB_PIN_RANDPERM") == "1":
+        pin_randperm_identity()
     sys.path.insert(0, REFERENCE)
     argv = list(argv)
     if "--resume" in argv:

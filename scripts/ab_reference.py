@@ -25,12 +25,19 @@ Determinism contract (what makes the two programs comparable):
   the train loader at init (which would shift the np.random stream,
   ``init_trainer.py:185-213``).
 
-Criteria covered: ``none`` (boundary-aware focal only, fully deterministic)
-and ``supcon_focal`` (two-crop + SupCon, deterministic given aligned crops).
-The pixelcontrast recipes sample anchors with ``torch.randperm``
-(``utils/loss.py:327-329``) — a backend-private RNG that cannot be aligned
-with a JAX program; their math is value+grad oracle-matched at component
-level instead (``tests/test_loss_oracle.py``).
+Criteria covered: ``none`` (boundary-aware focal only, fully deterministic),
+``supcon_focal`` (two-crop + SupCon, deterministic given aligned crops),
+``supcon_simclr_focal`` (the SimCLR branch, same determinism), and the
+doubly-contrastive flagship ``supcon_pixelcontrast_focal`` (+
+``pixelcontrast_focal``). The pixelcontrast recipes sample anchors with
+``torch.randperm`` (``utils/loss.py:327-329``) — a backend-private RNG that
+cannot be replayed from JAX — so for those the driver pins randperm to the
+identity permutation (``AB_PIN_RANDPERM=1``; selection = FIRST raster-order
+indices of each hard/easy list, keeping all of the reference's selection
+rules) and our ``--reference_rng`` sampler picks the same first indices
+(``losses/pixel_contrast.py`` deterministic_select). The unpinned sampling
+math stays value+grad oracle-matched at component level
+(``tests/test_loss_oracle.py``).
 
 Usage:
   python scripts/ab_reference.py gen-data --workdir /tmp/ab
@@ -243,10 +250,13 @@ def run(workdir: str, criterion: str, epochs: int, bs: int, seed: int,
     recipe = _recipe_argv(criterion, epochs, bs, seed, val_wh)
     tag = criterion.replace("_", "")
 
+    ref_env = {"PYTHONHASHSEED": "0"}
+    if "pixelcontrast" in criterion:
+        ref_env["AB_PIN_RANDPERM"] = "1"
     if not skip_ref:
         _run([sys.executable, DRIVER, "train", "--"] + recipe +
              ["--resume", init_ckpt, "--checkname", f"abref_{tag}"],
-             cwd=workdir, env={"PYTHONHASHSEED": "0"},
+             cwd=workdir, env=ref_env,
              log_to=os.path.join(workdir, f"ref_{tag}.log"))
 
     if not skip_ours:
@@ -295,9 +305,12 @@ def calibrate(workdir: str, criterion: str, epochs: int, bs: int, seed: int,
         _run([sys.executable, DRIVER, "perturb-init", "--src", init_ckpt,
               "--out", pert_ckpt, "--eps", str(eps)], cwd=workdir)
     recipe = _recipe_argv(criterion, epochs, bs, seed, val_wh)
+    cal_env = {"PYTHONHASHSEED": "0"}
+    if "pixelcontrast" in criterion:
+        cal_env["AB_PIN_RANDPERM"] = "1"
     _run([sys.executable, DRIVER, "train", "--"] + recipe +
          ["--resume", pert_ckpt, "--checkname", f"abrefp_{tag}"],
-         cwd=workdir, env={"PYTHONHASHSEED": "0"},
+         cwd=workdir, env=cal_env,
          log_to=os.path.join(workdir, f"refp_{tag}.log"))
 
     a = np.array(_parse_losses(ref_log))
@@ -486,7 +499,10 @@ def main():
         r.add_argument("--workdir", required=True)
         if name != "val-only":
             r.add_argument("--criterion", default="none",
-                           choices=["none", "supcon_focal"])
+                           choices=["none", "supcon_focal",
+                                    "supcon_simclr_focal",
+                                    "pixelcontrast_focal",
+                                    "supcon_pixelcontrast_focal"])
         if name in ("run", "val-only", "calibrate"):
             r.add_argument("--bs", type=int, default=2)
             r.add_argument("--seed", type=int, default=1)

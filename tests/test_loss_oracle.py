@@ -266,3 +266,37 @@ def test_oracle_holds_under_production_compile_flags():
         env=env, capture_output=True, text=True, timeout=1200,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+def test_pixel_contrast_deterministic_select_matches_pinned_reference(rng):
+    """A/B flagship enabler (VERDICT r4 item 2): with the reference's
+    torch.randperm pinned to the identity permutation (what the A/B driver
+    does under AB_PIN_RANDPERM=1), its hard-anchor sampling picks the FIRST
+    raster-order indices of each hard/easy list; our deterministic_select
+    path must gather the exact same pixels on fully RANDOM inputs — no
+    draw-invariance crutch — including the label downsample."""
+    ref_loss = _ref_losses()
+    b, c, s, d = 2, 6, 16, 8
+    feats = rng.standard_normal((b, s, s, d)).astype(np.float32)
+    labels = rng.integers(0, c, (b, 2 * s, 2 * s)).astype(np.int64)
+    labels[0, :6, :6] = 255                     # ignore region
+    logits = rng.standard_normal((b, s, s, c)).astype(np.float32)
+
+    real_randperm = torch.randperm
+    torch.randperm = lambda n, **k: torch.arange(n)
+    try:
+        crit = ref_loss.PixelContrastLoss(device="cpu")
+        want = float(crit(
+            torch.tensor(np.transpose(feats, (0, 3, 1, 2))),
+            torch.tensor(labels),
+            torch.tensor(np.transpose(logits, (0, 3, 1, 2)))))
+    finally:
+        torch.randperm = real_randperm
+
+    from doubly_contrastive_semseg_tpu.losses.pixel_contrast import (
+        pixel_contrast_loss)
+
+    got = float(pixel_contrast_loss(
+        jnp.asarray(feats), jnp.asarray(labels), jnp.asarray(logits),
+        jax.random.PRNGKey(0), num_classes=c, deterministic_select=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
