@@ -24,8 +24,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 BASELINE_FPS = 66.7
 
 
+V5E_BF16_PEAK_FLOPS = 197e12  # per-chip bf16 peak (public v5e spec)
+
+
 def run_bench(height: int, width: int, batch_size: int, iters: int,
-              warmup: int, dtype: str, layout: str = "s2d") -> float:
+              warmup: int, dtype: str, layout: str = "s2d") -> dict:
     """layout='s2d': host loader feeds space-to-depth-packed frames (the
     production path; the pack is untimed DataLoader work, like the
     reference's workers). layout='nhwc': plain NHWC frames — the device pays
@@ -88,24 +91,46 @@ def run_bench(height: int, width: int, batch_size: int, iters: int,
 
     # throughput protocol: enqueue K batches, fence the last. The TPU
     # executes dispatches in order, so the window covers all K forwards plus
-    # one host↔device latency (amortized by K). Best of 3 windows: the
-    # tunnel adds multi-ms jitter that a single window can eat. Per-frame
+    # one host↔device latency (amortized by K). Headline = MEAN over 3
+    # windows ± spread (protocol parity with the reference's mean-with-
+    # first-batch-skip, trainer.py:356-368; earlier rounds reported the
+    # best window, which flattered tunnel jitter by ~1-2%). Per-frame
     # *latency* is a separate single-fenced measurement on stderr.
-    mean_t = float("inf")
+    window_t = []
     for _ in range(3):
         t0 = time.perf_counter()
         out = None
         for _ in range(iters):  # keep only the last output — retaining all
             out = forward(params, batch_stats, x)  # K would pin O(K) HBM
         fence(out)
-        mean_t = min(mean_t, (time.perf_counter() - t0) / iters)
+        window_t.append((time.perf_counter() - t0) / iters)
+    mean_t = sum(window_t) / len(window_t)
 
     t1 = time.perf_counter()
     fence(forward(params, batch_stats, x))
     latency = time.perf_counter() - t1
     print(f"batch {batch_size}: latency {latency * 1000:.1f} ms "
           f"(incl. tunnel round trip)", file=sys.stderr)
-    return batch_size / mean_t
+
+    # roofline accounting from XLA's own cost analysis of the compiled
+    # program (Pallas custom calls are opaque to it — the fused seg head's
+    # interp/argmax FLOPs are uncounted, a small deflation of true MFU)
+    flops_per_batch = 0.0
+    try:
+        cost = forward.lower(params, batch_stats, x).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops_per_batch = float(cost.get("flops", 0.0))
+    except Exception as e:
+        print(f"cost analysis unavailable: {e}", file=sys.stderr)
+
+    fps_windows = [batch_size / t for t in window_t]
+    return {
+        "fps": batch_size / mean_t,
+        "fps_min": min(fps_windows),
+        "fps_max": max(fps_windows),
+        "flops_per_frame": flops_per_batch / batch_size,
+    }
 
 
 def main() -> None:
@@ -134,15 +159,18 @@ def main() -> None:
     if args.height and args.width:
         h, w = args.height, args.width
 
-    best = 0.0
+    best: dict = {}
     for bs in candidates:
         try:
-            fps = run_bench(h, w, bs, iters, warmup, args.dtype)
+            r = run_bench(h, w, bs, iters, warmup, args.dtype)
         except Exception as e:  # OOM at large batch: keep the best so far
             print(f"batch_size={bs} failed: {e}", file=sys.stderr)
             continue
-        print(f"batch_size={bs}: {fps:.2f} frames/sec", file=sys.stderr)
-        best = max(best, fps)
+        print(f"batch_size={bs}: {r['fps']:.2f} frames/sec "
+              f"(windows {r['fps_min']:.1f}..{r['fps_max']:.1f})",
+              file=sys.stderr)
+        if r["fps"] > best.get("fps", 0.0):
+            best = r
 
     # plain-NHWC companion number: device pays the s2d relayout (~6.5 ms /
     # batch-8) — reported so the headline can't be read as hiding it
@@ -150,21 +178,30 @@ def main() -> None:
     if not args.quick:
         try:
             nhwc_fps = run_bench(h, w, candidates[0], max(10, iters // 3),
-                                 warmup, args.dtype, layout="nhwc")
+                                 warmup, args.dtype, layout="nhwc")["fps"]
             print(f"plain-NHWC input: {nhwc_fps:.2f} frames/sec",
                   file=sys.stderr)
         except Exception as e:
             print(f"nhwc run failed: {e}", file=sys.stderr)
 
+    fps = best.get("fps", 0.0)
     out = {
         "metric": f"swiftnet_rn18_{w}x{h}_inference",
-        "value": round(best, 2),
+        "value": round(fps, 2),
         "unit": "frames/sec/chip",
-        "vs_baseline": round(best / BASELINE_FPS, 3),
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
     }
+    if best:
+        out["fps_window_min"] = round(best["fps_min"], 2)
+        out["fps_window_max"] = round(best["fps_max"], 2)
+        if best["flops_per_frame"]:
+            tflops = best["flops_per_frame"] * fps / 1e12
+            out["flops_per_frame_g"] = round(best["flops_per_frame"] / 1e9, 1)
+            out["achieved_tflops"] = round(tflops, 1)
+            out["mfu_pct"] = round(100 * tflops * 1e12 / V5E_BF16_PEAK_FLOPS, 1)
     if nhwc_fps:
         out["nhwc_input_fps"] = round(nhwc_fps, 2)
-    if best == 0.0:
+    if fps == 0.0:
         # every candidate failed — make the failure unmistakable instead of
         # a success-shaped 0.0 line with exit code 0
         out["error"] = "all batch sizes failed; see stderr"

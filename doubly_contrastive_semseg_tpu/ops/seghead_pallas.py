@@ -148,6 +148,11 @@ def _kernel(feat_hbm, wt_ref, ab_ref, bias_ref,
     # stacking) the 4 phases trips Mosaic layout inference — each phase
     # argmaxes independently into its own output; the caller interleaves
     # with one XLA int8 stack.
+    # INVARIANT: scratch/logits columns >= w are GARBAGE — when w is not a
+    # 128 multiple the lane-pad columns [w, w_pad) are never DMA-initialized
+    # (stale VMEM). Every W-phase slice below must stay strictly below col w;
+    # a change that reads cols >= w (e.g. reintroducing halo columns) would
+    # silently consume uninitialized data on hardware.
     curw = hp[:, :, 0:w]
     prevw = jnp.concatenate([hp[:, :, 0:1], hp[:, :, 0:w - 1]], axis=-1)
     nxtw = jnp.concatenate([hp[:, :, 1:w], hp[:, :, w - 1:w]], axis=-1)
