@@ -69,10 +69,20 @@ class MBConv(nn.Module):
                           param_dtype=jnp.float32, name="expand_conv")(out)
             out = _bn(self.dtype, "bn0")(out, use_running_average=not train)
             out = nn.swish(out)
-        p = self.kernel // 2
+        # TF-style SAME padding, matching the vendored reference lib's
+        # Conv2dStaticSamePadding (efficientnet_pytorch/utils.py:64-120):
+        # total = (ceil(in/s)−1)·s + k − in, split begin = total//2 /
+        # end = rest. Identical to symmetric k//2 at stride 1 (odd k), but
+        # ASYMMETRIC at stride 2 (pad bottom/right heavier) — required for
+        # checkpoint-import parity (tests/test_backbone_oracles.py).
+        def _tf_same(in_sz: int) -> Tuple[int, int]:
+            total = max((-(-in_sz // self.stride) - 1) * self.stride
+                        + self.kernel - in_sz, 0)
+            return total // 2, total - total // 2
         out = nn.Conv(hidden, (self.kernel, self.kernel),
                       strides=(self.stride, self.stride),
-                      padding=[(p, p), (p, p)], feature_group_count=hidden,
+                      padding=[_tf_same(out.shape[1]), _tf_same(out.shape[2])],
+                      feature_group_count=hidden,
                       use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
                       name="depthwise_conv")(out)
         out = _bn(self.dtype, "bn1")(out, use_running_average=not train)

@@ -283,6 +283,7 @@ class StereoDCSS(nn.Module):
     max_disp: int = 192
     num_classes: int = 19
     num_scales: int = 1
+    backbone: str = "resnet18"  # resnet18 | resnet34 | efficientnetb0
     aggregation_type: str = "adaptive"  # adaptive | stereonet | psmnet_basic | psmnet_hg | gcnet
     refinement_type: str = "semantic"  # stereonet | semantic | stereodrnet | hourglass | new1.. (stereo_extras)
     train_semantic: bool = True
@@ -295,7 +296,21 @@ class StereoDCSS(nn.Module):
         from ..ops.input_pipeline import image_hw, is_s2d_image, s2d_unpack
 
         ih, iw = image_hw(left)
-        fe = resnet18_pyramid(dtype=self.dtype, name="feature_extractor")
+        # trunk is parameterized (BASELINE config 5: "EfficientNet backbone +
+        # deformable-conv refinement + disparity head" — the reference's own
+        # efficientnet pyramid exposes a disparity-decoder path,
+        # network/backbone/efficientnet_pyramid.py:359-394, but its WeatherNet
+        # wiring crashes; here every pyramid trunk honors one contract)
+        if self.backbone == "efficientnetb0":
+            from .efficientnet_pyramid import efficientnet_pyramid
+
+            fe = efficientnet_pyramid(dtype=self.dtype, name="feature_extractor")
+        elif self.backbone == "resnet34":
+            from .resnet_pyramid import resnet34_pyramid
+
+            fe = resnet34_pyramid(dtype=self.dtype, name="feature_extractor")
+        else:
+            fe = resnet18_pyramid(dtype=self.dtype, name="feature_extractor")
         # one trunk pass over both views stacked on the batch axis — the two
         # views share weights, and a 2B batch keeps the MXU fuller than two
         # B-sized dispatches (measured 49 → ~30 ms at 2×(2,1024,2048,3))

@@ -101,6 +101,8 @@ class StereoTrainer:
         self.model = StereoDCSS(
             max_disp=max_disp, num_classes=cfg.num_classes,
             train_semantic=cfg.train_semantic,
+            backbone=cfg.model if cfg.model in
+            ("resnet18", "resnet34", "efficientnetb0") else "resnet18",
             aggregation_type=cfg.aggregation_type,
             refinement_type=cfg.refinement_type,
             deform_impl=getattr(cfg, "deform_impl", "window"),

@@ -53,6 +53,10 @@ def parse_args():
     # partial-restore and run random refinement weights)
     p.add_argument("--train_semantic", action="store_true", default=False,
                    help="checkpoint was trained with the semantic head")
+    p.add_argument("--backbone", default="resnet18",
+                   choices=["resnet18", "resnet34", "efficientnetb0"],
+                   help="stereo trunk (BASELINE config 5 pairs efficientnetb0 "
+                        "with deformable refinement + the disparity head)")
     p.add_argument("--aggregation_type", default="adaptive",
                    choices=["adaptive", "stereonet", "psmnet_basic",
                             "psmnet_hg", "gcnet"])
@@ -96,6 +100,7 @@ def stereo_main(args):
 
     model = StereoDCSS(max_disp=args.max_disp, num_classes=args.num_classes,
                        train_semantic=args.train_semantic,
+                       backbone=args.backbone,
                        aggregation_type=args.aggregation_type,
                        refinement_type=args.refinement_type,
                        deform_impl=args.deform_impl,

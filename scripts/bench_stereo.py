@@ -40,6 +40,8 @@ def main() -> None:
                    help="default matches the baseline protocol: the 18.5-fps "
                         "run used --refinement_type ours = Refine_disp_sem "
                         "(reference scripts/tjsong_train.sh:31-35)")
+    p.add_argument("--backbone", default="resnet18",
+                   choices=["resnet18", "resnet34", "efficientnetb0"])
     args = p.parse_args()
 
     import jax
@@ -50,6 +52,7 @@ def main() -> None:
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model = StereoDCSS(max_disp=args.max_disp, num_classes=19,
+                       backbone=args.backbone,
                        refinement_type=args.refinement_type, dtype=dtype)
 
     cpu = jax.devices("cpu")[0]
@@ -107,7 +110,7 @@ def main() -> None:
     nhwc_fps = b / measure(left_nhwc, left_nhwc)
     print(f"plain-NHWC input: {nhwc_fps:.2f} frames/sec", file=sys.stderr)
     print(json.dumps({
-        "metric": f"stereo_dcss_rn18_{w}x{h}_inference",
+        "metric": f"stereo_dcss_{args.backbone}_{w}x{h}_inference",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 3),

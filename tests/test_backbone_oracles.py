@@ -293,3 +293,109 @@ def test_swiftnet_hourglass_forward_parity():
     assert rel < 2e-4, f"sem {rel}"
     rel = _rel_err(extra["disp_feat"], want_disp)
     assert rel < 2e-4, f"disp {rel}"
+
+
+def test_efficientnet_trunk_matches_vendored_reference():
+    """VERDICT r4 item 4: the EfficientNet-B0 MBConv trunk vs the reference's
+    vendored ``efficientnet_pytorch`` (which runs standalone even though the
+    reference's pyramid WIRING crashes, weathernet.py:68-70). Imports the
+    torch blocks' weights into our MBConv stages and demands <2e-4 relative
+    parity at EVERY stage boundary — covering swish, SE, TF-same asymmetric
+    stride-2 padding (k=3 and k=5), and the BN eps=1e-3 semantics."""
+    if "/root/reference/network" not in sys.path:
+        sys.path.insert(0, "/root/reference/network")
+    from efficientnet_pytorch import EfficientNet as TorchEffNet
+
+    from doubly_contrastive_semseg_tpu.models.efficientnet_pyramid import (
+        B0_BLOCKS, MBConv)
+
+    torch.manual_seed(11)
+    tm = TorchEffNet.from_name("efficientnet-b0")
+    tm.eval()
+    # BN running stats off init so the eval-mode normalization is non-trivial
+    tm.train()
+    with torch.no_grad():
+        for i in range(2):
+            g = torch.Generator().manual_seed(50 + i)
+            x = torch.randn((2, 32, 112, 112), generator=g)
+            for blk in tm._blocks:
+                x = blk(x, drop_connect_rate=None)
+    tm.eval()
+
+    import flax.linen as nn
+
+    class Trunk(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            outs = []
+            total = sum(n for (_, _, n, _, _) in B0_BLOCKS)
+            gidx = 0
+            for si, (t, c, n, s, k) in enumerate(B0_BLOCKS):
+                for bi in range(n):
+                    x = MBConv(c, t, kernel=k, stride=(s if bi == 0 else 1),
+                               drop_connect=0.2 * gidx / total,
+                               name=f"stage{si}_{bi}")(x, train)
+                    gidx += 1
+                outs.append(x)
+            return outs
+
+    # weight import: torch _blocks[g] -> stage{si}_{bi}
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params, stats = {}, {}
+
+    def conv(tp, path, bias=False, depthwise=False):
+        w = sd[tp + ".weight"]
+        k = np.transpose(w, (2, 3, 1, 0))
+        params_path = path + ("kernel",)
+        node = params
+        for kk in params_path[:-1]:
+            node = node.setdefault(kk, {})
+        node[params_path[-1]] = jnp.asarray(k)
+        if bias:
+            node["bias"] = jnp.asarray(sd[tp + ".bias"])
+
+    def bn(tp, path):
+        node_p, node_s = params, stats
+        for kk in path[:-1]:
+            node_p = node_p.setdefault(kk, {})
+            node_s = node_s.setdefault(kk, {})
+        node_p[path[-1]] = {"scale": jnp.asarray(sd[tp + ".weight"]),
+                            "bias": jnp.asarray(sd[tp + ".bias"])}
+        node_s[path[-1]] = {"mean": jnp.asarray(sd[tp + ".running_mean"]),
+                            "var": jnp.asarray(sd[tp + ".running_var"])}
+
+    gidx = 0
+    for si, (t, c, n, s, k) in enumerate(B0_BLOCKS):
+        for bi in range(n):
+            name = f"stage{si}_{bi}"
+            tp = f"_blocks.{gidx}"
+            if t != 1:
+                conv(tp + "._expand_conv", (name, "expand_conv"))
+                bn(tp + "._bn0", (name, "bn0"))
+            conv(tp + "._depthwise_conv", (name, "depthwise_conv"))
+            bn(tp + "._bn1", (name, "bn1"))
+            conv(tp + "._se_reduce", (name, "se_reduce"), bias=True)
+            conv(tp + "._se_expand", (name, "se_expand"), bias=True)
+            conv(tp + "._project_conv", (name, "project_conv"))
+            bn(tp + "._bn2", (name, "bn2"))
+            gidx += 1
+
+    g = torch.Generator().manual_seed(77)
+    x_t = torch.randn((1, 32, 112, 112), generator=g)
+    with torch.no_grad():
+        want, xt = [], x_t
+        gi = 0
+        for si, (t, c, n, s, k) in enumerate(B0_BLOCKS):
+            for bi in range(n):
+                xt = tm._blocks[gi](xt, drop_connect_rate=None)
+                gi += 1
+            want.append(xt.numpy())
+
+    got = Trunk().apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(np.transpose(x_t.numpy(), (0, 2, 3, 1))), train=False)
+    for si, (w, g_out) in enumerate(zip(want, got)):
+        g_nchw = np.transpose(np.asarray(g_out), (0, 3, 1, 2))
+        denom = max(np.abs(w).max(), 1e-6)
+        rel = np.abs(g_nchw - w).max() / denom
+        assert rel < 2e-4, f"stage {si}: rel diff {rel:.2e}"

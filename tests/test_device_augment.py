@@ -57,3 +57,62 @@ def test_gamma_applied_to_night_only(batch):
     lg, ln = np.asarray(out_g["left"]), np.asarray(out_n["left"])
     assert lg[0].mean() > ln[0].mean() + 5  # night frame brightened
     np.testing.assert_allclose(lg[1], ln[1], atol=1e-4)  # fog untouched
+
+
+def test_crop_geometry_law_matches_host_pipeline():
+    """VERDICT r4 item 5a: the device crop/scale GEOMETRY follows the host
+    pipeline's law (reference custom_transforms_acdc.py:444-532), not just
+    its contract. Host law: scale ~ U(0.5, 2); box = int(scale·crop);
+    x0 ~ randint[0, max(box, W) − box] inclusive (so a box larger than the
+    frame pins x0 = 0 on that axis). Checked distributionally on 4096 draws
+    per pipeline, on a frame where the box overflows H but not W."""
+    from doubly_contrastive_semseg_tpu.data.device_augment import (
+        _sample_crop_params)
+
+    crop, h, w = 768, 1080, 1920
+    n = 4096
+
+    keys = jax.random.split(jax.random.PRNGKey(42), n)
+    dx0, dy0, dbox = jax.vmap(
+        lambda k: _sample_crop_params(k, h, w, crop, 0.5, 2.0))(keys)
+    dx0, dy0, dbox = (np.asarray(dx0), np.asarray(dy0), np.asarray(dbox))
+
+    rng = np.random.default_rng(7)
+    hscale = rng.uniform(0.5, 2.0, n)
+    hbox = (hscale * crop).astype(np.int64)
+    hx0 = np.array([rng.integers(0, max(b, w) - b + 1) for b in hbox])
+    hy0 = np.array([rng.integers(0, max(b, h) - b + 1) for b in hbox])
+
+    # 1) box-side law: same support and distribution (moments + extremes)
+    assert dbox.min() >= 0.5 * crop - 1 and dbox.max() <= 2.0 * crop
+    assert abs(dbox.mean() - hbox.mean()) < 0.02 * hbox.mean()
+    assert abs(dbox.std() - hbox.std()) < 0.05 * hbox.std()
+
+    # 2) overflow clamping: box > H pins y0 = 0, exactly like the host pad
+    over = dbox > h
+    assert over.any()
+    assert (dy0[over] == 0).all()
+    assert (hy0[hbox > h] == 0).all()
+
+    # 3) positional law where the box fits: x0 uniform over [0, W − box]
+    #    — compare the NORMALIZED position u = x0/(W−box+1) of both
+    #    pipelines (uniform on [0,1): mean .5, std 1/sqrt(12))
+    du = dx0 / (w - dbox + 1)
+    hu = hx0 / (w - hbox + 1)
+    for u in (du, hu):
+        assert abs(u.mean() - 0.5) < 0.02
+        assert abs(u.std() - 1 / np.sqrt(12)) < 0.01
+    fit = ~over
+    dv = dy0[fit] / (h - dbox[fit] + 1)
+    hv = hy0[hbox <= h] / (h - hbox[hbox <= h] + 1)
+    for v in (dv, hv):
+        assert abs(v.mean() - 0.5) < 0.03
+        assert abs(v.std() - 1 / np.sqrt(12)) < 0.015
+
+    # 4) full-support check via empirical CDF distance on the box side
+    #    (two-sample Kolmogorov–Smirnov, generous threshold for n=4096)
+    a, b = np.sort(dbox), np.sort(hbox.astype(np.float64))
+    grid = np.linspace(0.5 * crop, 2.0 * crop, 512)
+    cdf_a = np.searchsorted(a, grid) / n
+    cdf_b = np.searchsorted(b, grid) / n
+    assert np.abs(cdf_a - cdf_b).max() < 0.05

@@ -228,3 +228,43 @@ def test_stereo_model_forward(rng):
     assert out["disp"].shape == (1, 64, 64)
     assert out["seg"].shape == (1, 64, 64, 19)
     assert np.isfinite(np.asarray(out["disp"])).all()
+
+
+def test_stereo_model_efficientnet_backbone(rng):
+    """BASELINE config 5 (VERDICT r4 item 3): EfficientNet-B0 trunk +
+    deformable-conv aggregation/refinement + the disparity head, end to end
+    — forward shapes/finiteness AND one gradient step through the whole
+    model (the reference never could run this: its efficientnet pyramid
+    return arity crashes WeatherNet, weathernet.py:68-70)."""
+    from doubly_contrastive_semseg_tpu.models.stereo import StereoDCSS
+
+    m = StereoDCSS(max_disp=32, num_classes=19, backbone="efficientnetb0",
+                   dtype=jnp.float32)
+    left = jnp.asarray(rng.uniform(0, 255, (1, 64, 64, 3)).astype(np.float32))
+    right = jnp.asarray(rng.uniform(0, 255, (1, 64, 64, 3)).astype(np.float32))
+    v = m.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+               left, right, train=False)
+    out = m.apply(v, left, right, train=False)
+    assert out["disp"].shape == (1, 64, 64)
+    assert out["seg"].shape == (1, 64, 64, 19)
+    assert np.isfinite(np.asarray(out["disp"])).all()
+
+    gt = jnp.asarray(rng.uniform(0, 20, (1, 64, 64)).astype(np.float32))
+
+    def loss_fn(params):
+        o, updates = m.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            left, right, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(2)})
+        return jnp.mean(jnp.abs(o["disp"] - gt)), updates
+
+    (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(v["params"])
+    assert np.isfinite(float(loss))
+    gnorm = float(jnp.sqrt(sum(jnp.sum(g * g) for g in
+                               jax.tree_util.tree_leaves(grads))))
+    assert np.isfinite(gnorm) and gnorm > 0
+    # the efficientnet trunk actually participates in the gradient
+    fe = grads["feature_extractor"]
+    fe_norm = float(jnp.sqrt(sum(jnp.sum(g * g) for g in
+                                 jax.tree_util.tree_leaves(fe))))
+    assert fe_norm > 0
