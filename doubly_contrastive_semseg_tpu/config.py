@@ -171,6 +171,7 @@ class Config:
     run_root: str = "run"
     host_augment: bool = True  # host PIL/cv2 pipeline (reference semantics); False = on-device augmentation
     loader: str = "thread"     # input pipeline: thread (prefetch pool) | grain (deterministic + checkpointable iterators)
+    rescue_interval: int = 0   # >0: every N train steps write rescue_checkpoint with the grain-iterator position, so even SIGKILL (uncatchable; the signal rescue handles SIGTERM/SIGINT) loses at most N steps
     fuse_stem: bool = True     # eval-only fused Pallas stem (ops/stem_pallas.py); --no_fuse_stem falls back to the XLA conv+bn+relu+pool
     trace: bool = False        # capture a jax.profiler device trace of the first epoch
     reference_rng: bool = False  # A/B parity mode: augmentation draws come from the
@@ -360,6 +361,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--run_root", type=str, default=d.run_root)
     _add_bool_flag(p, "host_augment", True)
     p.add_argument("--loader", type=str, default=d.loader, choices=["thread", "grain"])
+    p.add_argument("--rescue_interval", type=int, default=d.rescue_interval)
     _add_bool_flag(p, "fuse_stem", True)
     _add_bool_flag(p, "trace", False)
     _add_bool_flag(p, "reference_rng", False)

@@ -28,10 +28,10 @@ ARRAY_KEYS = ("left", "right", "label", "weather", "label_distance_weight", "dis
 META_KEYS = ("left_name", "frame_name", "target_size", "target_size_feats")
 
 
-def _stack(samples: List[Dict]) -> Dict:
+def _stack(samples: List[Dict], skip: tuple = ()) -> Dict:
     out: Dict = {}
     for k in ARRAY_KEYS:
-        if k in samples[0] and samples[0][k] is not None:
+        if k not in skip and k in samples[0] and samples[0][k] is not None:
             out[k] = np.stack([np.asarray(s[k]) for s in samples])
     for k in META_KEYS:
         if k in samples[0]:
@@ -40,12 +40,25 @@ def _stack(samples: List[Dict]) -> Dict:
 
 
 def collate(samples: List) -> Dict:
-    """Batch a list of samples; two-crop pairs become one 2B-image batch."""
+    """Batch a list of samples; two-crop pairs become one 2B-image batch.
+
+    The two-crop image batch is written ONCE into its final ``(2B, H, W, 3)``
+    buffer (slot assignment into ``np.empty``) rather than stack-then-
+    concatenate — the images are by far the largest arrays in the batch
+    (~113 MB at bs8/768², so the old concat alone re-copied that much), and
+    collate runs serialized on the producer thread, so every byte here is on
+    the feed path's critical core (HOSTPIPE_r05.json).
+    """
     if isinstance(samples[0], (list, tuple)):
-        view0 = _stack([s[0] for s in samples])
-        view1 = _stack([s[1] for s in samples])
-        view0["left"] = np.concatenate([view0["left"], view1["left"]], axis=0)
-        return view0
+        b = len(samples)
+        img0 = np.asarray(samples[0][0]["left"])
+        left = np.empty((2 * b,) + img0.shape, img0.dtype)
+        for i, s in enumerate(samples):
+            left[i] = s[0]["left"]
+            left[b + i] = s[1]["left"]
+        out = _stack([s[0] for s in samples], skip=("left",))
+        out["left"] = left
+        return out
     return _stack(samples)
 
 

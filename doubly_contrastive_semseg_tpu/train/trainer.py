@@ -173,15 +173,7 @@ class Trainer:
         def rescue(signum, frame):
             logging.warning("signal %s: writing rescue checkpoint...", signum)
             try:
-                loader_state = None
-                if hasattr(self.train_loader, "get_state"):
-                    try:  # grain loader: exact mid-epoch batch position
-                        loader_state = self.train_loader.get_state()
-                    except Exception:
-                        loader_state = None
-                self.ckpt.save("rescue_checkpoint", self.state, self.cur_epochs,
-                               None, self.best_score, self.best_score_epoch,
-                               loader_state=loader_state)
+                self._write_rescue()
                 logging.warning("rescue checkpoint saved; exiting")
             finally:
                 raise SystemExit(128 + signum)
@@ -191,6 +183,20 @@ class Trainer:
                 signal.signal(sig, rescue)
             except ValueError:  # non-main thread (e.g. tests)
                 return
+
+    def _write_rescue(self) -> None:
+        """rescue_checkpoint = train state + exact mid-epoch input position
+        (grain's checkpointable iterator; the threaded loader has no position
+        and restarts the epoch, like the reference's torch DataLoader)."""
+        loader_state = None
+        if hasattr(self.train_loader, "get_state"):
+            try:
+                loader_state = self.train_loader.get_state()
+            except Exception:
+                loader_state = None
+        self.ckpt.save("rescue_checkpoint", self.state, self.cur_epochs,
+                       None, self.best_score, self.best_score_epoch,
+                       loader_state=loader_state)
 
     # ------------------------------------------------------------------ data
     def _sample_batch(self) -> Dict:
@@ -289,6 +295,13 @@ class Trainer:
 
             if self.num_iter % cfg.summary_freq == 0:
                 self._write_loss_summaries(metrics)
+
+            # periodic SIGKILL-survivable rescue (uncatchable kills lose at
+            # most rescue_interval steps; skipped at the epoch boundary where
+            # the ordinary epoch-end save supersedes it)
+            if cfg.rescue_interval > 0 and i + 1 < num_img_tr \
+                    and self.num_iter % cfg.rescue_interval == 0:
+                self._write_rescue()
 
             last_data_time = time.time()
 

@@ -1,13 +1,13 @@
 #!/usr/bin/env python
-"""Per-segment device-time breakdown of StereoDCSS serving at 2048x1024.
+"""Per-stage timing decomposition of the StereoDCSS serving path.
 
-Times each stage of the joint disparity+semantics forward in isolation
-(trunk over both views, cost volume, adaptive aggregation, soft-argmin,
-semantic-guided refinement, seg head) with the enqueue-K/fence-last protocol
-bench.py uses, so the sum can be compared against scripts/bench_stereo.py's
-end-to-end number.
+Times each stage as a standalone jitted module at the exact shapes the full
+model runs them (timing needs architecture + shapes, not shared weights), so
+optimization effort lands where the milliseconds are. Shapes assume the
+headline protocol: batch 2, 2048×1024, max_disp 192, bf16, s2d-packed input
+(scripts/bench_stereo.py).
 
-Run on the TPU chip:  python scripts/profile_stereo.py [--batch 2]
+Run on the TPU chip: python scripts/profile_stereo.py
 """
 
 from __future__ import annotations
@@ -20,139 +20,114 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
-import jax
-import jax.numpy as jnp
-import numpy as np
 
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--height", type=int, default=1024)
+    p.add_argument("--width", type=int, default=2048)
+    p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--max_disp", type=int, default=192)
+    p.add_argument("--iters", type=int, default=10)
+    args = p.parse_args()
 
-def timeit(fn, args, iters=20, warmup=2):
-    jitted = jax.jit(fn)
-    jitted(*args)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
 
-    def fence(o):
-        l = jax.tree_util.tree_leaves(o)[0]
-        return np.asarray(jax.device_get(l.ravel()[0]))
-
-    for _ in range(warmup):
-        fence(jitted(*args))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(iters):
-            out = jitted(*args)
-        fence(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best * 1000.0
-
-
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=2)
-    ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--max_disp", type=int, default=192)
-    ap.add_argument("--deform_impl", default="window")
-    args = ap.parse_args()
-
-    from doubly_contrastive_semseg_tpu.models.resnet_pyramid import resnet18_pyramid
-    from doubly_contrastive_semseg_tpu.models.stereo import (
-        AdaptiveAggregation, SemanticGuidedRefinement)
-    from doubly_contrastive_semseg_tpu.ops.cost_volume import (
-        cost_volume_pyramid, soft_argmin_disparity)
-    from doubly_contrastive_semseg_tpu.ops.interpolate import resize_bilinear
-
-    B, H, W = args.batch, 1024, 2048
     dt = jnp.bfloat16
+    b, h, w, d4 = args.batch_size, args.height, args.width, args.max_disp // 4
     dev = jax.devices()[0]
-    cpu = jax.devices("cpu")[0]
-    key = jax.random.PRNGKey(0)
 
-    def rand(shape, dtype=dt):
-        return jax.device_put(
-            jax.random.normal(key, shape, jnp.float32).astype(dtype), dev)
+    def bench(name, fn, *xs):
+        f = jax.jit(fn)
+        out = f(*xs)
+        jax.tree_util.tree_map(
+            lambda a: a.block_until_ready() if hasattr(a, "block_until_ready")
+            else a, out)
+        # D2H fence like bench.py (block_until_ready acks at dispatch over
+        # the axon tunnel)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        float(jax.device_get(jnp.ravel(leaf.astype(jnp.float32))[0]))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            o = None
+            for _ in range(args.iters):
+                o = f(*xs)
+            leaf = jax.tree_util.tree_leaves(o)[0]
+            float(jax.device_get(jnp.ravel(leaf.astype(jnp.float32))[0]))
+            best = min(best, (time.perf_counter() - t0) / args.iters)
+        print(f"{name:42s} {best * 1e3:8.2f} ms")
+        return best
 
-    results = {}
+    rng = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
 
-    # ---- trunk: one shared pass over both views (2B batch) ----
-    fe = resnet18_pyramid(dtype=dt)
-    with jax.default_device(cpu):
-        fv = fe.init(jax.random.PRNGKey(0), jnp.ones((1, 128, 256, 3)), train=False)
-    fv = jax.device_put(fv, dev)
-    both = rand((2 * B, H, W, 3))
-    results["trunk_2B"] = timeit(
-        lambda v, x: fe.apply(v, x, train=False)[0], (fv, both), args.iters)
-
-    # production path: host loader feeds space-to-depth-packed frames
+    # --- trunk: shared over both views = batch 2B, s2d-packed input --------
+    from doubly_contrastive_semseg_tpu.models.resnet_pyramid import (
+        resnet18_pyramid)
     from doubly_contrastive_semseg_tpu.ops.input_pipeline import s2d_pack
-    host = np.random.default_rng(0).standard_normal(
-        (2 * B, H, W, 3)).astype(np.float32)
-    both_s2d = jax.device_put(
-        jnp.asarray(s2d_pack(host)).astype(dt), dev)
-    results["trunk_2B_s2d"] = timeit(
-        lambda v, x: fe.apply(v, x, train=False)[0], (fv, both_s2d), args.iters)
 
-    feat = rand((B, H // 4, W // 4, 128))
-    feat_r = rand((B, H // 4, W // 4, 128))
+    trunk = resnet18_pyramid(dtype=dt)
+    x = jax.device_put(jnp.asarray(
+        s2d_pack(np.ones((2 * b, h, w, 3), np.float32)).astype(np.float32),
+        dt), dev)
+    with jax.default_device(jax.devices("cpu")[0]):
+        tv = trunk.init(rng, jnp.ones((1, 128, 256, 3)), train=False)
+    tv = jax.device_put(tv, dev)
+    bench("trunk (2B views, s2d)", lambda v, a: trunk.apply(v, a, train=False),
+          tv, x)
 
-    # ---- cost volume (correlation) ----
-    d4 = args.max_disp // 4
-    results["cost_volume"] = timeit(
-        lambda l, r: cost_volume_pyramid([l], [r], d4, "correlation")[0],
-        (feat, feat_r), args.iters)
+    # --- correlation cost volume at 1/4 ------------------------------------
+    from doubly_contrastive_semseg_tpu.ops.cost_volume import (
+        correlation_cost_volume, soft_argmin_disparity)
 
-    # ---- adaptive aggregation (3 fusions, 2 deform) ----
-    vol = rand((B, H // 4, W // 4, d4))
+    lf = jax.device_put(jnp.ones((b, h // 4, w // 4, 128), dt), dev)
+    bench(f"correlation volume D={d4}",
+          lambda a, c: correlation_cost_volume(a, c, d4), lf, lf)
+
+    # --- adaptive aggregation (3 fusions, 2 deform, window impl) -----------
+    from doubly_contrastive_semseg_tpu.models.stereo import AdaptiveAggregation
+
     agg = AdaptiveAggregation(num_scales=1, num_fusions=3, num_deform_blocks=2,
-                              deform_impl=args.deform_impl, dtype=dt)
-    with jax.default_device(cpu):
-        av = agg.init(jax.random.PRNGKey(0), [jnp.ones((1, 64, 128, d4))], False)
+                              deform_impl="window", dtype=dt)
+    vol = jax.device_put(jnp.ones((b, h // 4, w // 4, d4), dt), dev)
+    with jax.default_device(jax.devices("cpu")[0]):
+        av = agg.init(rng, [jnp.ones((1, 32, 64, d4))], train=False)
     av = jax.device_put(av, dev)
-    results["aggregation"] = timeit(
-        lambda v, x: agg.apply(v, [x], False)[0], (av, vol), args.iters)
+    bench("adaptive aggregation (3 fusions)",
+          lambda v, a: agg.apply(v, [a], train=False), av, vol)
 
-    # ---- soft-argmin ----
-    results["soft_argmin"] = timeit(
-        lambda x: soft_argmin_disparity(x), (vol,), args.iters)
+    bench("soft-argmin", lambda a: soft_argmin_disparity(a), vol)
 
-    # ---- semantic refinement (full res) ----
-    disp_low = rand((B, H // 4, W // 4), jnp.float32)
-    img = rand((B, H, W, 3))
-    ref = SemanticGuidedRefinement(dtype=dt)
-    with jax.default_device(cpu):
-        rv = ref.init(jax.random.PRNGKey(0), jnp.ones((1, 32, 64)),
-                      jnp.ones((1, 128, 256, 3)), jnp.ones((1, 32, 64, 128)),
-                      False)
+    # --- SemRefine disp_sem head at full res -------------------------------
+    from doubly_contrastive_semseg_tpu.models.stereo_extras import (
+        make_refinement)
+
+    ref = make_refinement("disp_sem", dtype=dt)
+    ld = jax.device_put(jnp.ones((b, h // 4, w // 4), dt), dev)
+    sem = jax.device_put(jnp.ones((b, h // 4, w // 4, 128), dt), dev)
+    with jax.default_device(jax.devices("cpu")[0]):
+        rv = ref.init(rng, jnp.ones((1, 32, 64)), jnp.ones((1, 128, 256, 3)),
+                      jnp.ones((1, 32, 64, 128)), train=False)
     rv = jax.device_put(rv, dev)
-    results["refinement"] = timeit(
-        lambda v, d, i, f: ref.apply(v, d, i, f, False), (rv, disp_low, img, feat),
-        args.iters)
+    xi = jax.device_put(jnp.asarray(
+        s2d_pack(np.ones((b, h, w, 3), np.float32)).astype(np.float32), dt),
+        dev)
+    bench("SemRefine disp_sem (full res)",
+          lambda v, a, im, s: ref.apply(v, a, im, s, train=False),
+          rv, ld, xi, sem)
 
-    # ---- reference-faithful disp_sem refinement (U-net at /4) ----
-    from doubly_contrastive_semseg_tpu.models.stereo_extras import make_refinement
-    sr = make_refinement("disp_sem", dtype=dt)
-    with jax.default_device(cpu):
-        sv = sr.init(jax.random.PRNGKey(0), jnp.ones((1, 32, 64)),
-                     jnp.ones((1, 128, 256, 3)), jnp.ones((1, 32, 64, 128)),
-                     False)
-    sv = jax.device_put(sv, dev)
-    results["refine_disp_sem"] = timeit(
-        lambda v, d, i, f: sr.apply(v, d, i, f, False)[0],
-        (sv, disp_low, img, feat), args.iters)
+    # --- fused Pallas seg head ---------------------------------------------
+    from doubly_contrastive_semseg_tpu.ops.seghead_pallas import (
+        fused_seghead_upsample_argmax)
 
-    # ---- seg head: 1x1 conv + full-res bilinear + argmax ----
-    def seghead(f):
-        k = jnp.ones((1, 1, 128, 19), dt)
-        s = jax.lax.conv_general_dilated(
-            f, k, (1, 1), [(0, 0), (0, 0)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(jnp.float32)
-        return jnp.argmax(resize_bilinear(s, (H, W)), axis=-1).astype(jnp.uint8)
-
-    results["seg_head"] = timeit(seghead, (feat,), args.iters)
-
-    total = sum(results.values())
-    for k, v in results.items():
-        print(f"{k:14s} {v:8.2f} ms")
-    print(f"{'SUM':14s} {total:8.2f} ms")
+    k = jax.device_put(jnp.ones((1, 1, 128, 19), jnp.float32), dev)
+    bias = jax.device_put(jnp.zeros((19,), jnp.float32), dev)
+    ones = jax.device_put(jnp.ones((128,), jnp.float32), dev)
+    zeros = jax.device_put(jnp.zeros((128,), jnp.float32), dev)
+    bench("fused seg head (pallas)",
+          lambda f: fused_seghead_upsample_argmax(f, ones, zeros, zeros, ones,
+                                                  k, bias), lf)
 
 
 if __name__ == "__main__":
