@@ -65,18 +65,23 @@ class TorchBatchNorm(nn.Module):
     update_passes: int = 1
 
     @nn.compact
-    def __call__(self, x: jax.Array,
+    def __call__(self, x: Optional[jax.Array] = None,
                  use_running_average: Optional[bool] = None,
-                 shared_idx: int = 0, shared_total: int = 1) -> jax.Array:
-        ura = nn.merge_param("use_running_average", self.use_running_average,
-                             use_running_average)
-        feats = x.shape[-1]
+                 shared_idx: int = 0, shared_total: int = 1,
+                 features: Optional[int] = None):
+        feats = features if x is None else x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (feats,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (feats,), jnp.float32)
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda s: jnp.zeros(s, jnp.float32), (feats,))
         ra_var = self.variable("batch_stats", "var",
                                lambda s: jnp.ones(s, jnp.float32), (feats,))
+        if x is None:
+            # raw access (fused Pallas stem callers): declare the variables,
+            # return them untouched — same tree paths as a normal call
+            return scale, bias, ra_mean.value, ra_var.value
+        ura = nn.merge_param("use_running_average", self.use_running_average,
+                             use_running_average)
 
         if ura:
             mean, var = ra_mean.value, ra_var.value

@@ -23,6 +23,7 @@ config fields; ``REFINE_NEW_VARIANTS`` instantiates each published variant
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -48,7 +49,7 @@ class _ImageStem7x7(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, left: jax.Array) -> jax.Array:
+    def __call__(self, left: jax.Array, fused_bn=None) -> jax.Array:
         from ..ops.input_pipeline import (is_s2d_image, s2d_stem_geometry,
                                           stem_s2d_fold)
 
@@ -56,9 +57,20 @@ class _ImageStem7x7(nn.Module):
                             (7, 7, 3, self.features), jnp.float32)
         x = left.astype(self.dtype)
         if is_s2d_image(left):
+            folded = stem_s2d_fold(kernel).astype(self.dtype)
+            if fused_bn is not None:
+                # serving fast path: the caller passes folded BN scale/bias
+                # and receives conv+BN+ReLU+maxpool from the trunk's fused
+                # Pallas stem kernel (ops/stem_pallas.py) — same shape/math
+                # as the 7×7/s2 stem, measured 9.9 → 6.5 ms at 2048×1024
+                from ..ops import stem_pallas
+
+                return stem_pallas.fused_stem_pool(
+                    x, folded, fused_bn[0], fused_bn[1],
+                    interpret=bool(os.environ.get("DCSS_STEM_INTERPRET")))
             _, pad = s2d_stem_geometry(7)
             return jax.lax.conv_general_dilated(
-                x, stem_s2d_fold(kernel).astype(self.dtype), (1, 1),
+                x, folded, (1, 1),
                 [pad, pad], dimension_numbers=("NHWC", "HWIO", "NHWC"))
         return jax.lax.conv_general_dilated(
             x, kernel.astype(self.dtype), (2, 2), [(3, 3), (3, 3)],
@@ -437,6 +449,53 @@ class HourglassRefinement(nn.Module):
         return nn.relu(d + delta)[..., 0]
 
 
+def _composed_disp_head(chain, x: jax.Array) -> jax.Array:
+    """Collapse a LINEAR ×4-upsampling disparity head — ``chain`` =
+    3×3 conv(→1ch, bias) ∘ deconv4×4/s2 ∘ deconv4×4/s2, no nonlinearities —
+    into one 3×3 conv producing the 16 output phases at input resolution,
+    plus a depth-to-space.
+
+    The composed kernel is extracted *exactly* by pushing per-channel
+    impulses through ``chain`` itself (32 impulses batched; the response
+    around the impulse IS the composed kernel, support 3×3 blocks), so this
+    stays correct for any weights with zero per-layer bookkeeping. One
+    subtlety: each deconv's SAME-crop drops virtual border rows, so the
+    single composed conv (which zero-pads the *input*) disagrees within
+    ~4 px of each image edge; those bands are recomputed with the original
+    chain on 8-row/col strips and pasted over (strip-local crops equal the
+    full image's on the outward edge; inner-edge artifacts stay outside the
+    pasted 16-px band). Interior equality is exact in f32 and at the bf16
+    rounding floor in bf16; measured 12.0 → 5.5 ms at (2, 256, 512, 32) on
+    v5e — the full-res 32-channel deconv intermediates never exist."""
+    b, h, w, cin = x.shape
+    idx = jnp.arange(cin)
+    imp = jnp.zeros((cin, 12, 12, cin), x.dtype).at[idx, 4, 4, idx].set(1.0)
+    resp = chain(imp)[..., 0]                              # (cin, 48, 48)
+    bias = chain(jnp.zeros((1, 12, 12, cin), x.dtype))[0, 20, 20, 0]
+    r = resp - bias
+    # K[jy, jx, ci, 4·py+px] = r[ci, 4·(5−jy)+py, 4·(5−jx)+px]: the impulse
+    # sits at block (4, 4); out_ph[v] = Σ_j xpad[v+j]·K[j] puts block v=5−j
+    # in K slot j (window starts one block above/left of the output block)
+    blocks = r.reshape(cin, 12, 4, 12, 4)                  # [ci, vy, py, vx, px]
+    sel = jnp.array([5, 4, 3])
+    k = blocks[:, sel][:, :, :, sel]                       # (ci, 3, py, 3, px)
+    k = k.transpose(1, 3, 0, 2, 4).reshape(3, 3, cin, 16)
+    y = jax.lax.conv_general_dilated(
+        jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))), k.astype(x.dtype),
+        (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    full = y.reshape(b, h, w, 4, 4).transpose(0, 1, 3, 2, 4)
+    full = full.reshape(b, 4 * h, 4 * w, 1) + bias
+    top = chain(x[:, :8])
+    full = full.at[:, :16].set(top[:, :16])
+    bot = chain(x[:, -8:])
+    full = full.at[:, -16:].set(bot[:, -16:])
+    lft = chain(x[:, :, :8])
+    full = full.at[:, :, :16].set(lft[:, :, :16])
+    rgt = chain(x[:, :, -8:])
+    full = full.at[:, :, -16:].set(rgt[:, :, -16:])
+    return full
+
+
 class SemRefine(nn.Module):
     """The ``Refine_disp_sem`` / ``Refine_New*`` skeleton, parameterized
     (reference ``refinement.py:207-1093``): 7×7/s2+maxpool stem over the left
@@ -485,11 +544,24 @@ class SemRefine(nn.Module):
 
         # stem: 7×7/s2 → BN → ReLU → maxpool (refinement.py:216-220);
         # accepts NHWC or host-packed s2d input (folded kernel, same math)
+        from ..ops import stem_pallas
+        from ..ops.input_pipeline import is_s2d_image
         from .blocks import max_pool_3x3_s2
 
-        f = _ImageStem7x7(dtype=dt, name="conv0")(left)
-        f = batch_norm(dt, name="bn0")(f, use_running_average=not train)
-        f = max_pool_3x3_s2(nn.relu(f))
+        stem = _ImageStem7x7(dtype=dt, name="conv0")
+        bn0 = batch_norm(dt, name="bn0")
+        use_fused_stem = (not train and not self.is_initializing()
+                          and is_s2d_image(left) and stem_pallas.supports(left)
+                          and (jax.default_backend() not in ("cpu",)
+                               or os.environ.get("DCSS_STEM_INTERPRET")))
+        if use_fused_stem:
+            sc, bi, mu, var = bn0(features=64)
+            inv = jax.lax.rsqrt(var + 1e-5)
+            f = stem(left, fused_bn=(sc * inv, bi - mu * sc * inv))
+        else:
+            f = stem(left)
+            f = bn0(f, use_running_average=not train)
+            f = max_pool_3x3_s2(nn.relu(f))
 
         sem_in = left_sem.astype(dt)
         disp_in = low_disp.astype(dt)
@@ -528,24 +600,37 @@ class SemRefine(nn.Module):
 
         # plain ×2 transposed convs, NO bn/relu (the heads' deconv1/deconv2
         # are bare ConvTranspose2d(32, 32, 4, 2, 1), refinement.py:336-345)
-        def _deconv(v, name):
+        def _make_deconv(name):
             return nn.ConvTranspose(32, (4, 4), strides=(2, 2), padding="SAME",
                                     use_bias=False, dtype=dt,
-                                    param_dtype=jnp.float32, name=name)(v)
+                                    param_dtype=jnp.float32, name=name)
 
         # semantic head (full-res variants deconv twice first, New1 style)
         if self.sem_head_full_res:
-            s = _deconv(x, "deconv1_sem")
-            s = _deconv(s, "deconv2_sem")
+            s = _make_deconv("deconv1_sem")(x)
+            s = _make_deconv("deconv2_sem")(s)
         else:
             s = x
         sem = conv_kxk(self.sem_channels, 3, bias=True, dtype=dt,
                        name="final_sem")(s).astype(jnp.float32)
 
-        # disparity head: ×2 deconv twice → Δ + upsampled low disp
-        xd = _deconv(x, "deconv1")
-        xd = _deconv(xd, "deconv2")
-        delta = conv_kxk(1, 3, bias=True, dtype=dt, name="final_disp")(xd)
+        # disparity head: ×2 deconv twice → Δ + upsampled low disp. The three
+        # ops are LINEAR (bare deconvs, then a biased 3×3 conv), so at eval
+        # the whole ×4-upsampling chain collapses into one 3×3 16-phase conv
+        # at 1/4 resolution + a depth-to-space — the full-res 32-channel
+        # intermediates never exist (12.0 → 5.5 ms at 2048×1024 batch 2,
+        # exact incl. borders; see _composed_disp_head)
+        d1, d2m = _make_deconv("deconv1"), _make_deconv("deconv2")
+        fdisp = conv_kxk(1, 3, bias=True, dtype=dt, name="final_disp")
+
+        def disp_chain(v):
+            return fdisp(d2m(d1(v)))
+
+        if (not train and not self.is_initializing()
+                and x.shape[1] >= 16 and x.shape[2] >= 16):
+            delta = _composed_disp_head(disp_chain, x)
+        else:
+            delta = disp_chain(x)
         if self.raw_disp_head:
             return delta.astype(jnp.float32)[..., 0], sem
         base = resize_bilinear(low_disp[..., :1].astype(jnp.float32), hw)

@@ -54,14 +54,20 @@ def correlation_cost_volume(left: jax.Array, right: jax.Array,
                   for dd in range(d)]
         return jnp.stack(slices, axis=-1)
 
-    # tile width: largest divisor of W in [D, 512] (8-aligned for sublanes);
-    # W itself if it's already small enough
-    t = w if w <= 512 else None
-    if t is None:
-        for cand in range(512, d - 1, -8):
-            if w % cand == 0:
-                t = cand
-                break
+    # tile width: the 8-aligned divisor of W nearest 64. Small tiles bound
+    # the f32 Gram intermediate AND the extra FLOPs at (T+D−1)/D × minimum;
+    # large tiles amortize better on the MXU. Measured at the serving shape
+    # (2, 256, 512, 128) D=48: T=512 → 6.4 ms (586 MB intermediate),
+    # T=128 → 3.8, T=64 → 3.7, T=32 → 4.1 — T≈64 is the sweet spot, and the
+    # band algebra below is valid for any T (tiles just overlap more of the
+    # padded right row when T < D).
+    t = None
+    best_key = None
+    for cand in range(8, min(w, 512) + 1, 8):
+        if w % cand == 0:
+            key = abs(cand - 64)
+            if best_key is None or key < best_key:
+                t, best_key = cand, key
     if t is None:  # ragged W: one whole-row Gram tile (the old path)
         t = w
     m = t + d - 1

@@ -114,12 +114,19 @@ def modulated_deform_conv(
 
 
 def _hat_weights(frac: jax.Array, radius: int) -> jax.Array:
-    """Per-axis bilinear weights over the integer window [-radius, radius+1]:
+    """Per-axis bilinear weights over the integer window [-radius, radius]:
     ``w_j = relu(1 - |frac - j|)``. For ``frac = n + f`` this is ``1-f`` at
     ``j=n`` and ``f`` at ``j=n+1``, zero elsewhere — exactly the bilinear
     hat, computed densely so no gather is needed. Shape: frac (...,) →
-    (..., 2*radius+2)."""
-    taps = jnp.arange(-radius, radius + 2, dtype=frac.dtype)
+    (..., 2*radius+1).
+
+    The window stops at ``+radius`` (not ``+radius+1``): the caller clamps
+    ``frac`` to ``[-radius, radius]``, so the ``radius+1`` tap's weight
+    ``relu(1 - |frac - radius - 1|)`` is identically zero (``|·| ≥ 1``) —
+    dropping it shrinks the 2-D blend from ``(2r+2)²`` to ``(2r+1)²`` terms
+    (36 → 25 at the default r=2; measured 10.1 → 6.6 ms per aggregation
+    deform conv) with bit-identical results."""
+    taps = jnp.arange(-radius, radius + 1, dtype=frac.dtype)
     return jax.nn.relu(1.0 - jnp.abs(frac[..., None] - taps))
 
 
@@ -141,7 +148,7 @@ def modulated_deform_conv_window(
     are a serial slow path on TPU (measured 257 ms for one (2,256,512,48)
     deform conv — 40% of the whole StereoDCSS forward). Here the bilinear
     sample at ``base + offset`` is rewritten as a separable sum over the
-    integer window ``[-radius, radius+1]²`` around each tap with per-axis
+    integer window ``[-radius, radius]²`` around each tap with per-axis
     hat weights (``_hat_weights``): every term is a *static* shift of ``x``
     times a per-pixel scalar field — pure VPU FMAs XLA fuses freely, then
     one MXU matmul with the filter. No gather anywhere, autodiff gives the
@@ -164,20 +171,20 @@ def modulated_deform_conv_window(
     g = deform_groups
     cg = cin // g
     r = radius
-    win = 2 * r + 2
+    win = 2 * r + 1                     # the +r+1 tap is dead post-clamp
 
     if offset.shape[1] != h or offset.shape[2] != w:
         raise ValueError("window deform conv supports stride 1 only")
 
     # output pixel (row, col) with tap (ty, tx) samples
     #   y = row - padding + ty*dilation + oy   (same for x)
-    # so relative displacement dy ∈ [tap_min - r, tap_max + r + 1]; pad x so
+    # so relative displacement dy ∈ [tap_min - r, tap_max + r]; pad x so
     # every displacement is a static in-bounds slice. Zero-padding reproduces
     # the deformable-im2col border rule (outside the image reads 0).
     tap_lo = -padding
     tap_hi = -padding + (kh - 1) * dilation
     pad_lo = r - tap_lo                 # cover dy = tap_lo - r
-    pad_hi = tap_hi + r + 1
+    pad_hi = tap_hi + r
     xp = jnp.pad(x, ((0, 0), (pad_lo, pad_hi), (pad_lo, pad_hi), (0, 0)))
 
     off = offset.reshape(b, h, w, g, k, 2)

@@ -132,3 +132,37 @@ def test_stereo_dcss_with_3dconv_aggregation(rng, agg):
     out = m.apply(v, left, right, train=False)
     assert out["disp"].shape == (1, 64, 64)
     assert np.isfinite(np.asarray(out["disp"])).all()
+
+
+def test_composed_disp_head_equals_chain(rng):
+    """The eval-time composed ×4 disparity head (one 3×3 16-phase conv +
+    depth-to-space, ``_composed_disp_head``) equals running the literal
+    deconv→deconv→3×3 chain — everywhere, including the SAME-crop border
+    bands it re-stitches from strip runs."""
+    from flax import linen as nn
+
+    from doubly_contrastive_semseg_tpu.models.stereo_extras import (
+        _composed_disp_head)
+
+    class Chain(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.ConvTranspose(32, (4, 4), strides=(2, 2), padding="SAME",
+                                 use_bias=False, name="d1")(x)
+            x = nn.ConvTranspose(32, (4, 4), strides=(2, 2), padding="SAME",
+                                 use_bias=False, name="d2")(x)
+            return nn.Conv(1, (3, 3), use_bias=True, name="fd")(x)
+
+    mod = Chain()
+    v = mod.init(jax.random.PRNGKey(0), jnp.ones((1, 16, 16, 32)))
+    leaves, treedef = jax.tree_util.tree_flatten(v)
+    leaves = [jax.random.normal(jax.random.PRNGKey(i), l.shape, l.dtype) * 0.2
+              for i, l in enumerate(leaves)]
+    v = jax.tree_util.tree_unflatten(treedef, leaves)
+
+    x = jnp.asarray(rng.standard_normal((2, 24, 40, 32)).astype(np.float32))
+    ref = mod.apply(v, x)
+    got = _composed_disp_head(lambda a: mod.apply(v, a), x)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-4, rtol=1e-4)
