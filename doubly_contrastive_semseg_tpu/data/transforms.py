@@ -353,21 +353,40 @@ class RandomHorizontalFlip:
         return sample
 
 
+def _wire_image(img) -> np.ndarray:
+    """Narrowest exact wire dtype for an image: uint8 when the source already
+    is (PIL / uint8 array — the whole PIL-based augmentation chain), float32
+    otherwise (numpy photometric transforms emit float values)."""
+    arr = np.asarray(img)
+    if arr.dtype == np.uint8:
+        return arr
+    return arr.astype(np.float32)
+
+
 class ToArrays:
-    """PIL → numpy: HWC float32 image (0-255 scale — normalization lives in
-    the model, reference ``resnet_pyramid.py:296-304``), int64 label, int32
-    weather. The reference's ``Tensor`` transform emits CHW torch tensors
-    (``custom_transforms_acdc.py:713-762``); NHWC is the TPU-native layout."""
+    """PIL → numpy in the narrowest EXACT wire dtype: uint8 HWC image
+    (0-255 scale — normalization lives in the model, reference
+    ``resnet_pyramid.py:296-304``) and uint8 label when the augmentation
+    chain ends in PIL/uint8 (it does for every dataset here: train ids ≤ 255
+    with 255 = ignore), float32 image / int32 label otherwise; float32
+    disp/EDT weight; int32 weather. The jitted steps cast on device
+    (``train/steps.py::ingest_batch`` — uint8→float32/int32 is exact), so
+    the host pipeline's GIL-held copies, collate, and the H2D transfer move
+    3× fewer bytes per two-crop sample (28.3 → 9.4 MB at 768²,
+    HOSTPIPE_r05.json). The reference's ``Tensor`` transform emits CHW
+    float32/int64 torch tensors (``custom_transforms_acdc.py:713-762``);
+    NHWC + narrow wire dtypes is the TPU-native layout."""
 
     def __call__(self, sample: Dict) -> Dict:
         out = dict(sample)
-        out["left"] = np.asarray(sample["left"], np.float32)
+        out["left"] = _wire_image(sample["left"])
         if sample.get("right") is not None:
-            out["right"] = np.asarray(sample["right"], np.float32)
+            out["right"] = _wire_image(sample["right"])
         if sample.get("disp") is not None:
             out["disp"] = np.asarray(sample["disp"], np.float32)
         if sample.get("label") is not None:
-            out["label"] = np.asarray(sample["label"], np.int64)
+            lbl = np.asarray(sample["label"])
+            out["label"] = lbl if lbl.dtype == np.uint8 else lbl.astype(np.int32)
         if "weather" in sample and sample["weather"] is not None:
             out["weather"] = np.asarray(sample["weather"], np.int32).reshape(())
         return out

@@ -25,12 +25,31 @@ from ..metrics.confusion import (
 from .state import TrainState
 
 
+def ingest_batch(batch: Dict) -> Dict:
+    """Device-side widening of the loader's narrow wire dtypes.
+
+    The host pipeline ships images/labels as uint8 (``data/transforms.py::
+    ToArrays`` — 3× fewer bytes through collate and the H2D copy); compute
+    wants float images and int32 labels. uint8→float32/int32 is exact, and
+    inside jit the cast fuses into the first consumer, so numerics are
+    bit-identical to a float32 wire. Float inputs pass through untouched
+    (device-resident benches, legacy callers)."""
+    out = dict(batch)
+    for k in ("left", "right"):
+        if k in out and jnp.issubdtype(out[k].dtype, jnp.integer):
+            out[k] = out[k].astype(jnp.float32)
+    if "label" in out and out["label"].dtype != jnp.int32:
+        out["label"] = out["label"].astype(jnp.int32)
+    return out
+
+
 def make_train_step(model, cfg, tx) -> Callable:
     """Returns train_step(state, batch, rng, class_weight) -> (state, metrics)."""
     use_supcon = cfg.use_supcon
     on_acdc = cfg.dataset in ("acdc", "acdc_city", "synthetic")
 
     def loss_fn(params, batch_stats, batch, rng):
+        batch = ingest_batch(batch)
         rng_drop, rng_loss = jax.random.split(rng)
         outputs, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
@@ -80,6 +99,7 @@ def make_eval_step(model, cfg) -> Callable:
     # two-view split, so fine_feat0 == fine_feat and the in-model classifier
     # output equals the reference's weather_clf(fine_feat) (trainer.py:345-347)
     def eval_step(params, batch_stats, batch, accum):
+        batch = ingest_batch(batch)
         outputs = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["left"], train=False, return_supcon_feature=False,
@@ -113,6 +133,7 @@ def make_stereo_train_step(model, cfg, tx) -> Callable:
     train_semantic = cfg.train_semantic
 
     def loss_fn(params, batch_stats, batch, rng):
+        batch = ingest_batch(batch)
         outputs, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["left"], batch["right"], train=True,

@@ -109,7 +109,9 @@ class StereoTrainer:
             dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32)
         self.mesh = make_mesh(cfg.num_devices)
 
-        batch = self._device_batch(next(iter(self.train_loader)))
+        from .steps import ingest_batch
+
+        batch = ingest_batch(self._device_batch(next(iter(self.train_loader))))
         variables = self.model.init(
             {"params": jax.random.PRNGKey(cfg.random_seed),
              "dropout": jax.random.PRNGKey(cfg.random_seed + 1)},
@@ -152,8 +154,12 @@ class StereoTrainer:
                 logging.info("Weights restored from %s", cfg.resume)
         self._train_step = jax.jit(make_stereo_train_step(self.model, cfg, self.tx),
                                    donate_argnums=(0,))
-        self._eval_fwd = jax.jit(
-            lambda v, l, r: self.model.apply(v, l, r, train=False)["disp"])
+        def _eval(v, l, r):
+            b = ingest_batch({"left": l, "right": r})
+            return self.model.apply(v, b["left"], b["right"],
+                                    train=False)["disp"]
+
+        self._eval_fwd = jax.jit(_eval)
         self._rng = jax.random.PRNGKey(cfg.random_seed + 2)
         self.writer = SummaryWriter(self.saver.experiment_dir,
                                     enable_tb=not cfg.no_build_summary)

@@ -45,6 +45,13 @@ def main() -> None:
                     help="val batches (400 frames / bs 8)")
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--unique_batches", type=int, default=4)
+    ap.add_argument("--device_augment", action="store_true",
+                    help="stage RAW uint8 ACDC-size frames and run the "
+                         "on-device augmentation (data/device_augment.py: "
+                         "crop/scale + EDT weights + two-crop) in front of "
+                         "every train step — the --no_host_augment "
+                         "configuration, where the host's only duty is PNG "
+                         "decode (HOSTPIPE decode_only)")
     args = ap.parse_args()
 
     import jax
@@ -85,10 +92,35 @@ def main() -> None:
             "weather": r.integers(0, 4, (b,)).astype(np.int32),
         }
 
+    def raw_batch(seed):
+        # --no_host_augment wire: raw uint8 frames + uint8 labels, B (not 2B)
+        r = np.random.default_rng(seed)
+        return {
+            "left": r.integers(0, 256, (b, 1088, 1920, 3)).astype(np.uint8),
+            "label": r.integers(0, 19, (b, 1088, 1920)).astype(np.uint8),
+            "weather": r.integers(0, 4, (b,)).astype(np.int32),
+            "class_weight": np.ones((19,), np.float32),
+        }
+
     tb = [jax.device_put({k: jnp.asarray(v) for k, v in train_batch(i).items()}, dev)
           for i in range(args.unique_batches)]
     vb = [jax.device_put({k: jnp.asarray(v) for k, v in val_batch(100 + i).items()}, dev)
           for i in range(args.unique_batches)]
+    rawb = None
+    if args.device_augment:
+        from doubly_contrastive_semseg_tpu.data.device_augment import augment_batch
+        import functools
+
+        rawb = [jax.device_put({k: jnp.asarray(v) for k, v in raw_batch(200 + i).items()},
+                               dev) for i in range(args.unique_batches)]
+        aug_fn = jax.jit(functools.partial(
+            augment_batch, crop=768, num_classes=cfg.num_classes,
+            two_crop=True, use_gamma=True))
+
+        def augment(raw, key):
+            out = dict(raw)
+            out.update(aug_fn(raw["left"], raw["label"], raw["weather"], key))
+            return out
 
     key = jax.random.PRNGKey(0)
     state, tx = init_state_and_optimizer(model, cfg, tb[0], key,
@@ -103,15 +135,24 @@ def main() -> None:
         return float(jax.device_get(v))
 
     # compile (excluded, like the reference's warm epochs)
-    state, m = train_step(state, tb[0], key)
+    if rawb is not None:
+        state, m = train_step(state, augment(rawb[0], key), key)
+    else:
+        state, m = train_step(state, tb[0], key)
     fence(m["total_loss"])
     accum = jax.device_put(init_eval_accum(cfg), dev)
     preds, accum = eval_step(state.params, state.batch_stats, vb[0], accum)
     fence(accum["cm"][0, 0])
 
     t0 = time.perf_counter()
-    for i in range(args.steps):
-        state, m = train_step(state, tb[i % len(tb)], key)
+    if rawb is not None:
+        for i in range(args.steps):
+            state, m = train_step(
+                state, augment(rawb[i % len(rawb)], jax.random.fold_in(key, i)),
+                key)
+    else:
+        for i in range(args.steps):
+            state, m = train_step(state, tb[i % len(tb)], key)
     fence(m["total_loss"])
     t_train = time.perf_counter() - t0
 
@@ -128,7 +169,8 @@ def main() -> None:
           f"({t_train / args.steps * 1e3:.1f} ms/step)")
     print(f"val:   {args.val_batches} batches (1088x1920) in {t_val:.1f} s")
     print(json.dumps({
-        "metric": "acdc_epoch_train_plus_val",
+        "metric": ("acdc_epoch_train_plus_val_device_augment"
+                   if rawb is not None else "acdc_epoch_train_plus_val"),
         "value": round(total, 2), "unit": "s/epoch",
         "vs_baseline": round(209.6 / total, 2),
         "train_s": round(t_train, 2), "val_s": round(t_val, 2),

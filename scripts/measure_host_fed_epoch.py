@@ -131,15 +131,18 @@ class _EmulatedDataset:
 
     def __getitem__(self, i):
         time.sleep(self.sample_s)
+        # dtypes = the loader's narrow wire format (ToArrays: uint8
+        # image/label, float32 EDT weight; widened on device by
+        # train/steps.py::ingest_batch)
         view = lambda: {  # noqa: E731
-            "left": np.empty((768, 768, 3), np.float32),
-            "label": np.empty((768, 768), np.int64),
+            "left": np.empty((768, 768, 3), np.uint8),
+            "label": np.empty((768, 768), np.uint8),
             "label_distance_weight": np.empty((768, 768), np.float32),
             "weather": np.array(0),
         }
         v0, v1 = view(), view()
-        v0["left"].fill(0.5); v0["label"].fill(1)  # touch the pages
-        v1["left"].fill(0.5); v1["label"].fill(1)
+        v0["left"].fill(128); v0["label"].fill(1)  # touch the pages
+        v1["left"].fill(128); v1["label"].fill(1)
         v0["label_distance_weight"].fill(0.1)
         return [v0, v1]
 

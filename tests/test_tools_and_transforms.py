@@ -306,7 +306,9 @@ def test_stereo_trainer_pipeline_unifies_mixed_kitti_sizes():
     assert batch["left"].shape == (3, th, tw, 3)
     assert batch["right"].shape == (3, th, tw, 3)
     assert batch["disp"].shape == (3, th, tw)
-    assert batch["label"].dtype == np.int64
+    # narrow wire dtype: uint8 labels (train ids ≤ 255), widened on device
+    # by train/steps.py::ingest_batch
+    assert batch["label"].dtype == np.uint8
 
     # val: KITTI pads (smaller both ways) to the standard 384×1248
     val_t = Compose([StereoRandomCrop(vh, vw, validate=True, label_pad=255),
