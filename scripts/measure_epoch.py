@@ -45,6 +45,11 @@ def main() -> None:
                     help="val batches (400 frames / bs 8)")
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--unique_batches", type=int, default=4)
+    ap.add_argument("--compute_dtype", default="float32",
+                    choices=("float32", "bfloat16"),
+                    help="activation compute dtype for the train/eval steps "
+                         "(params stay fp32; the reference's --amp flag is "
+                         "dead code, options.py:168)")
     ap.add_argument("--device_augment", action="store_true",
                     help="stage RAW uint8 ACDC-size frames and run the "
                          "on-device augmentation (data/device_augment.py: "
@@ -67,7 +72,7 @@ def main() -> None:
         "--dataset", "synthetic", "--train_semantic",
         "--criterion", "supcon_pixelcontrast_focal",
         "--batch_size", str(args.batch_size), "--no_use_balanced_weights",
-        "--synthetic_hw", "1088x1920",
+        "--synthetic_hw", "1088x1920", "--compute_dtype", args.compute_dtype,
     ])
     model = build_model(cfg)
     dev = jax.devices()[0]
@@ -135,11 +140,18 @@ def main() -> None:
         return float(jax.device_get(v))
 
     # compile (excluded, like the reference's warm epochs)
+    tc = time.perf_counter()
     if rawb is not None:
-        state, m = train_step(state, augment(rawb[0], key), key)
+        aug0 = augment(rawb[0], key)
+        fence(aug0["label_distance_weight"][0, 0, 0])
+        print(f"[compile] augment: {time.perf_counter() - tc:.1f} s",
+              flush=True)
+        tc = time.perf_counter()
+        state, m = train_step(state, aug0, key)
     else:
         state, m = train_step(state, tb[0], key)
     fence(m["total_loss"])
+    print(f"[compile] train_step: {time.perf_counter() - tc:.1f} s", flush=True)
     accum = jax.device_put(init_eval_accum(cfg), dev)
     preds, accum = eval_step(state.params, state.batch_stats, vb[0], accum)
     fence(accum["cm"][0, 0])
@@ -175,6 +187,7 @@ def main() -> None:
         "vs_baseline": round(209.6 / total, 2),
         "train_s": round(t_train, 2), "val_s": round(t_val, 2),
         "ms_per_train_step": round(t_train / args.steps * 1e3, 1),
+        "compute_dtype": args.compute_dtype,
     }))
 
 

@@ -23,6 +23,34 @@ def test_distance_transform_matches_exact_edt(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_nearest_diff_label_collapse_matches_per_class_sum(rng):
+    """The one-flood form must reproduce the summed per-class exact EDT:
+    at each pixel only its own class term is nonzero, so the sum equals the
+    distance to the nearest differently-labeled pixel."""
+    from scipy.ndimage import distance_transform_edt, zoom
+
+    from doubly_contrastive_semseg_tpu.ops.edt import nearest_diff_label_distance
+
+    # blocky regions (realistic label structure) + ignore patch + salt noise
+    base = rng.integers(0, 5, (12, 16))
+    labels = zoom(base, 8, order=0)[:88, :120].astype(np.int32)
+    labels[:11, :13] = 255
+    salt = rng.random(labels.shape) < 0.003
+    labels = np.where(salt, rng.integers(0, 5, labels.shape), labels)
+
+    want = np.zeros(labels.shape, np.float64)
+    for c in range(5):
+        m = labels == c
+        if m.any():
+            want += np.where(m, distance_transform_edt(m), 0.0)
+    got = np.asarray(nearest_diff_label_distance(jnp.asarray(labels)))
+    # out-of-range (ignore) pixels belong to no class mask: the per-class sum
+    # is 0 there while the raw flood returns a true distance —
+    # label_boundary_weights applies exactly this in-range mask
+    got = np.where((labels >= 0) & (labels < 5), got, 0.0)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_label_boundary_weights_matches_host_transform(rng):
     from PIL import Image
 
