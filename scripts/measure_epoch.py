@@ -45,11 +45,12 @@ def main() -> None:
                     help="val batches (400 frames / bs 8)")
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--unique_batches", type=int, default=4)
-    ap.add_argument("--compute_dtype", default="float32",
+    ap.add_argument("--compute_dtype", default="bfloat16",
                     choices=("float32", "bfloat16"),
-                    help="activation compute dtype for the train/eval steps "
-                         "(params stay fp32; the reference's --amp flag is "
-                         "dead code, options.py:168)")
+                    help="activation compute dtype for the train/eval steps; "
+                         "bfloat16 is the framework's production default "
+                         "(config.py), params stay fp32 either way (the "
+                         "reference's --amp flag is dead code, options.py:168)")
     ap.add_argument("--device_augment", action="store_true",
                     help="stage RAW uint8 ACDC-size frames and run the "
                          "on-device augmentation (data/device_augment.py: "
